@@ -1,0 +1,234 @@
+"""Configuration objects.
+
+Mirrors the reference's three-layer config design
+(``src/common/config.h:27-85``, ``src/common/config.cc:31-148``):
+
+- :class:`ModelConfig` is parsed from the exporter's ``params.json`` with the
+  same mandatory/optional key behavior as ``ParseModelConfig``
+  (``config.cc:31-148``), or converted from a HuggingFace ``config.json``.
+- :class:`GeneratorConfig` carries scheduler budgets and sampling defaults
+  (``config.h:49-64``).
+- :class:`ResourceConfig` carries model paths and device-level knobs
+  (``config.h:27-47``); CUDA engine toggles are replaced by TPU-native
+  equivalents (bucket tables, kernel-variant selection, mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Model architecture + KV cache format.
+
+    Field names follow the reference ``ModelConfig`` (``config.h:66-85``) so
+    the exporter's ``params.json`` round-trips. TPU-only fields (head_dim,
+    rope_theta, ...) extend it for the pure-JAX model graph.
+    """
+
+    hidden_dim: int = 0
+    intermediate_dim: int = 0
+    num_layers: int = 0
+    num_heads: int = 0
+    num_kv_heads: int = 0
+    vocab_size: int = 0
+
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+
+    # KV cache quantization: (8, 8) = int8 with one scale per group of 8
+    # elements along head_dim; (0, 1) = unquantized (config.h:75-76,
+    # llm_generator.cc:131-137 accepts exactly these two combinations).
+    cache_quant_bit: int = 0
+    cache_quant_group: int = 1
+
+    # cache_layout is accepted for params.json compat but the TPU engine uses
+    # a single canonical paged layout chosen for the Pallas attention kernel
+    # (SURVEY.md section 7.3: "pick one, don't port all four").
+    cache_layout: int = 0
+    cache_mode: int = 1  # 0 = linear slots, 1 = paged
+    page_size: int = 128
+
+    dynamic_batching: bool = True
+    auto_causal: bool = True
+
+    # TPU additions
+    model_type: str = "llama"
+    dtype: str = "bfloat16"
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    def validate(self) -> None:
+        """Engine-level invariants checked at generator init
+        (``llm_generator.cc:114-144``)."""
+        if not self.auto_causal:
+            raise ConfigError("only auto_causal=True is supported")
+        if self.cache_mode not in (0, 1):
+            raise ConfigError(f"invalid cache_mode {self.cache_mode}")
+        if (self.cache_quant_bit, self.cache_quant_group) not in ((8, 8), (0, 1)):
+            raise ConfigError(
+                "(cache_quant_bit, cache_quant_group) must be (8, 8) or (0, 1), "
+                f"got ({self.cache_quant_bit}, {self.cache_quant_group})"
+            )
+        if not self.dynamic_batching:
+            raise ConfigError("only dynamic_batching=True is supported")
+        if self.num_heads % max(self.num_kv_heads, 1) != 0:
+            raise ConfigError("num_heads must be a multiple of num_kv_heads")
+        if self.hidden_dim % max(self.num_heads, 1) != 0:
+            raise ConfigError("hidden_dim must be divisible by num_heads")
+
+    @classmethod
+    def from_params_json(cls, path: str) -> "ModelConfig":
+        """Parse an exporter ``params.json``.
+
+        Key-by-key compatible with ``ParseModelConfig`` (``config.cc:31-148``):
+        all keys mandatory except ``num_kv_heads`` (defaults to ``num_heads``)
+        and ``page_size`` (mandatory only when ``cache_mode == 1``).
+        """
+        with open(path) as f:
+            doc = json.load(f)
+        required = [
+            "num_heads", "num_layers", "hidden_dim", "intermediate_dim",
+            "vocab_size", "cache_quant_bit", "cache_quant_group",
+            "cache_layout", "cache_mode", "dynamic_batching", "auto_causal",
+        ]
+        for key in required:
+            if key not in doc:
+                raise ConfigError(f"find key [{key}] failed")
+        cfg = cls(
+            num_heads=int(doc["num_heads"]),
+            num_kv_heads=int(doc.get("num_kv_heads", doc["num_heads"])),
+            num_layers=int(doc["num_layers"]),
+            hidden_dim=int(doc["hidden_dim"]),
+            intermediate_dim=int(doc["intermediate_dim"]),
+            vocab_size=int(doc["vocab_size"]),
+            cache_quant_bit=int(doc["cache_quant_bit"]),
+            cache_quant_group=int(doc["cache_quant_group"]),
+            cache_layout=int(doc["cache_layout"]),
+            cache_mode=int(doc["cache_mode"]),
+            dynamic_batching=bool(doc["dynamic_batching"]),
+            auto_causal=bool(doc["auto_causal"]),
+        )
+        if cfg.cache_mode == 1:
+            if "page_size" not in doc:
+                raise ConfigError("find key [page_size] failed")
+            cfg.page_size = int(doc["page_size"])
+        # optional TPU extensions if present
+        for key in ("norm_eps", "rope_theta", "max_position_embeddings",
+                    "model_type", "dtype", "tie_word_embeddings"):
+            if key in doc:
+                setattr(cfg, key, doc[key])
+        return cfg
+
+    @classmethod
+    def from_hf_config(cls, path: str, **overrides) -> "ModelConfig":
+        """Build from a HuggingFace ``config.json`` (llama-family)."""
+        with open(path) as f:
+            doc = json.load(f)
+        cfg = cls(
+            num_heads=int(doc["num_attention_heads"]),
+            num_kv_heads=int(doc.get("num_key_value_heads",
+                                     doc["num_attention_heads"])),
+            num_layers=int(doc["num_hidden_layers"]),
+            hidden_dim=int(doc["hidden_size"]),
+            intermediate_dim=int(doc["intermediate_size"]),
+            vocab_size=int(doc["vocab_size"]),
+            norm_eps=float(doc.get("rms_norm_eps", 1e-5)),
+            rope_theta=float(doc.get("rope_theta", 10000.0)),
+            max_position_embeddings=int(doc.get("max_position_embeddings", 4096)),
+            model_type=str(doc.get("model_type", "llama")),
+            tie_word_embeddings=bool(doc.get("tie_word_embeddings", False)),
+        )
+        for key, val in overrides.items():
+            setattr(cfg, key, val)
+        return cfg
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+@dataclasses.dataclass
+class GeneratorConfig:
+    """Scheduler budgets + sampling defaults (``config.h:49-64``)."""
+
+    top_p: float = 0.0
+    top_k: int = 1
+    enable_penalty: bool = False
+    max_running_batch: int = 1024
+    max_input_tokens_per_request: int = 4096
+    max_output_tokens_per_request: int = 4096
+    max_total_tokens_per_request: int = 8192
+    max_tokens_per_step: int = 8192
+    stop_tokens: frozenset = frozenset()
+    special_tokens: frozenset = frozenset()
+    max_cooldown_request: int = 2
+    enable_prefix_cache: bool = False
+    max_prefill_batch: int = 64
+    enable_profiling: bool = False
+
+    def validate(self) -> None:
+        if self.max_running_batch <= 0:
+            raise ConfigError("max_running_batch must be > 0")
+        if self.max_tokens_per_step < self.max_input_tokens_per_request:
+            raise ConfigError(
+                "max_tokens_per_step must be >= max_input_tokens_per_request"
+            )
+
+
+@dataclasses.dataclass
+class ResourceConfig:
+    """Model location + device resources (``config.h:27-47``).
+
+    The CUDA engine knobs (cublas layout, decoding-attention variants,
+    NCCL) are replaced with TPU equivalents: mesh shape, bucket tables,
+    quantization method, and KV pool sizing.
+    """
+
+    model_type: str = "llama"
+    model_format: str = "hf"  # "hf" safetensors dir | "random" (tests/bench)
+    model_dir: str = ""
+    model_param_path: str = ""
+    tokenizer_path: str = ""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    # Fraction of post-weights device memory given to the KV pool
+    # (max_tokens_scale, resource_manager.cc:334-341).
+    max_tokens_scale: float = 0.94
+    # Explicit override for total KV tokens; 0 = auto-size from device memory.
+    kv_cache_max_tokens: int = 0
+
+    max_running_batch: int = 1024
+    enable_penalty: bool = False
+
+    quant_method: str = "none"  # "none" | "online_i8i8"
+
+    # Step-shape bucketing (TPU replacement for dynamic ragged shapes):
+    # token counts and batch sizes are padded up to these bucket boundaries so
+    # each (token_bucket, batch_bucket) pair compiles exactly once.
+    token_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192)
+    batch_buckets: Sequence[int] = (8, 16, 32, 64, 128, 256)
+
+    # Attention kernel-variant selection (TPU analog of the reference's
+    # decoding-attention engine knobs, resource_manager.cc:74-112).
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def validate(self) -> None:
+        if self.tensor_parallel_size < 1 or (
+            self.tensor_parallel_size & (self.tensor_parallel_size - 1)
+        ):
+            raise ConfigError("tensor_parallel_size must be a power of 2")
+        if self.quant_method not in ("none", "online_i8i8"):
+            raise ConfigError(f"unknown quant_method {self.quant_method}")
