@@ -1,0 +1,229 @@
+"""LLaMA-family decoder as a single fused serving step.
+
+TPU-native replacement for the reference's ppl.nn ONNX/PMX graph + CUDA
+engine (SURVEY.md E1/E2): the whole transformer + sampling is ONE jitted
+program per shape bucket. The step processes a mixed continuous batch —
+the reference's fused prefill+decode step (``llm_engine.h:40-95``'s
+11-tensor contract) re-expressed with static shapes:
+
+    flat tokens  = [ Bd decode tokens | Bp x Qp padded prefill tokens ]
+
+- Dense matmuls (qkv / o / mlp / lm_head) run on the flat [T, D] layout,
+  so padding waste is only bucket rounding — MXU-friendly.
+- Attention splits into a decode part ([Bd, 1] queries) and a prefill part
+  ([Bp, Qp] queries), both reading the paged KV cache, so decode rows
+  never pay prefill-length attention compute.
+- New K/V are scattered into the paged cache before attention; prefix-hit
+  prefill (start > 0) needs no special engine flag, unlike the reference's
+  ``ENGINE_CONF_CACHE_PREFILL`` (``llm_engine.cc:114``).
+- Sampling + penalties run in the same program; the sampled tokens are the
+  only per-step device->host traffic.
+
+Weights layout: per-layer tensors stacked on a leading layer axis and the
+layer loop expressed with ``lax.scan`` — compile time stays O(1) in depth.
+QKV and gate/up are pre-fused into single matmuls (the reference gets this
+from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import attention as attn_ops
+from ..ops import kv_cache as kv_ops
+from ..ops import sampling as sampling_ops
+from ..ops.kv_cache import CacheSpec
+
+
+class StepInput(NamedTuple):
+    """Device inputs for one continuous-batching step.
+
+    Rows 0..Bd-1 are decode-mode requests (one new token each); rows
+    Bd..Bd+Bp-1 are prefill-mode requests (up to Qp new tokens each).
+    Padding rows have context_len == 0 and trash-page page-table entries.
+    """
+
+    decode_tokens: jax.Array    # i32[Bd]
+    decode_pos: jax.Array       # i32[Bd] absolute position of the token
+    prefill_tokens: jax.Array   # i32[Bp, Qp]
+    prefill_start: jax.Array    # i32[Bp] first new token's absolute position
+    prefill_len: jax.Array      # i32[Bp] valid new tokens
+    page_table: jax.Array       # i32[Bd+Bp, KVP]
+    context_len: jax.Array      # i32[Bd+Bp] kv length after this step
+    batch_slots: jax.Array      # i32[Bd+Bp] persistent penalty slots
+    sampling: sampling_ops.SamplingParams  # each [Bd+Bp]
+
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-initialized weights (tests/benchmarks; real checkpoints come
+    from models.loader)."""
+    d, hd = cfg.hidden_dim, cfg.head_dim
+    n_q, n_kv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+    qkv_out = (n_q + 2 * n_kv) * hd
+    keys = jax.random.split(key, 6)
+
+    def w(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    s = d ** -0.5
+    params = {
+        "embedding": w(keys[0], (cfg.vocab_size, d), 1.0),
+        "layers": {
+            "attn_norm": jnp.ones((l, d), dtype),
+            "ffn_norm": jnp.ones((l, d), dtype),
+            "wqkv": w(keys[1], (l, d, qkv_out), s),
+            "wo": w(keys[2], (l, n_q * hd, d), (n_q * hd) ** -0.5),
+            "w_gate_up": w(keys[3], (l, d, 2 * cfg.intermediate_dim), s),
+            "w_down": w(keys[4], (l, cfg.intermediate_dim, d),
+                        cfg.intermediate_dim ** -0.5),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": w(keys[5], (d, cfg.vocab_size), s),
+    }
+    return params
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(dtype) * weight
+
+
+def apply_rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
+    """HF rotate-half RoPE. x: [T, heads, head_dim], pos: i32[T]."""
+    head_dim = x.shape[-1]
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, half]
+    sin = jnp.sin(angles)[:, None, :]
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :half], x32[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class StepOutput(NamedTuple):
+    tokens: jax.Array     # i32[B]
+    logprobs: jax.Array   # f32[B]
+    kv_cache: jax.Array
+    kv_scale: jax.Array   # dummy when unquantized
+    count_map: jax.Array  # dummy when penalties disabled
+    logits: Optional[jax.Array] = None  # [B, V]; tests only
+
+
+def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
+                 enable_penalty: bool = False,
+                 return_logits: bool = False):
+    """Build the fused forward+sample step for one model configuration.
+
+    The returned function is pure and jittable; the engine jits it with
+    buffer donation for kv_cache / kv_scale / count_map.
+    """
+    n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps, theta = cfg.norm_eps, cfg.rope_theta
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    def step(params, kv_cache, kv_scale, count_map,
+             inp: StepInput, rng: jax.Array) -> StepOutput:
+        bd = inp.decode_tokens.shape[0]
+        bp, qp = inp.prefill_tokens.shape
+        b = bd + bp
+
+        # ---- flat token metadata ------------------------------------------
+        prefill_pos = (inp.prefill_start[:, None]
+                       + jnp.arange(qp, dtype=jnp.int32)[None, :])  # [Bp, Qp]
+        flat_pos = jnp.concatenate(
+            [inp.decode_pos, prefill_pos.reshape(-1)])              # i32[T]
+        flat_rows = jnp.concatenate([
+            jnp.arange(bd, dtype=jnp.int32),
+            bd + jnp.repeat(jnp.arange(bp, dtype=jnp.int32), qp),
+        ])                                                          # i32[T]
+        flat_tokens = jnp.concatenate(
+            [inp.decode_tokens, inp.prefill_tokens.reshape(-1)])
+        slots = kv_ops.token_slots(inp.page_table, flat_pos, flat_rows,
+                                   spec.page_size)                  # i32[T]
+
+        pt_decode = inp.page_table[:bd]
+        pt_prefill = inp.page_table[bd:]
+        ctx_decode = inp.context_len[:bd]
+
+        x = params["embedding"][flat_tokens].astype(compute_dtype)  # [T, D]
+
+        lp = params["layers"]
+
+        def layer(x, xs):
+            p, cache_l, scale_l = xs
+            h = rms_norm(x, p["attn_norm"], eps)
+            qkv = jnp.dot(h, p["wqkv"], preferred_element_type=jnp.float32)
+            qkv = qkv.astype(compute_dtype)
+            q, k, v = jnp.split(
+                qkv, [n_q * hd, (n_q + n_kv) * hd], axis=-1)
+            t = x.shape[0]
+            q = q.reshape(t, n_q, hd)
+            k = k.reshape(t, n_kv, hd)
+            v = v.reshape(t, n_kv, hd)
+            q = apply_rope(q, flat_pos, theta)
+            k = apply_rope(k, flat_pos, theta)
+
+            cache_l, scale_l = kv_ops.append_kv(
+                cache_l, scale_l, k, v, slots, spec)
+
+            attn_d = attn_ops.decode_attention_ref(
+                q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec)
+            attn_p = attn_ops.prefill_attention_ref(
+                q[bd:].reshape(bp, qp, n_q, hd), cache_l, scale_l,
+                pt_prefill, inp.prefill_start, inp.prefill_len, spec)
+            attn = jnp.concatenate(
+                [attn_d.reshape(bd, n_q * hd),
+                 attn_p.reshape(bp * qp, n_q * hd)])
+            o = jnp.dot(attn, p["wo"], preferred_element_type=jnp.float32)
+            x = x + o.astype(compute_dtype)
+
+            h = rms_norm(x, p["ffn_norm"], eps)
+            gate_up = jnp.dot(h, p["w_gate_up"],
+                              preferred_element_type=jnp.float32)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            act = jax.nn.silu(gate) * up
+            down = jnp.dot(act.astype(compute_dtype), p["w_down"],
+                           preferred_element_type=jnp.float32)
+            x = x + down.astype(compute_dtype)
+            return x, (cache_l, scale_l)
+
+        x, (kv_cache, kv_scale) = jax.lax.scan(
+            layer, x, (lp, kv_cache, kv_scale))
+
+        x = rms_norm(x, params["final_norm"], eps)
+
+        # ---- logits at each row's last new token --------------------------
+        last_idx = jnp.concatenate([
+            jnp.arange(bd, dtype=jnp.int32),
+            bd + jnp.arange(bp, dtype=jnp.int32) * qp
+            + jnp.maximum(inp.prefill_len - 1, 0),
+        ])                                                          # i32[B]
+        hidden = x[last_idx]                                        # [B, D]
+        logits = jnp.dot(hidden, params["lm_head"],
+                         preferred_element_type=jnp.float32)        # [B, V]
+
+        if enable_penalty:
+            # padding rows carry the trash batch slot (host-side fill), so
+            # the scatter-add needs no masking
+            count_map = sampling_ops.update_count_map(
+                count_map, flat_tokens, inp.batch_slots[flat_rows])
+            logits = sampling_ops.apply_penalties(
+                logits, count_map, inp.batch_slots, inp.sampling)
+
+        tokens, logprobs = sampling_ops.sample_top_k_top_p(
+            logits, inp.sampling, rng)
+        return StepOutput(tokens, logprobs, kv_cache, kv_scale, count_map,
+                          logits if return_logits else None)
+
+    return step

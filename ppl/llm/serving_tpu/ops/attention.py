@@ -1,0 +1,95 @@
+"""Attention over the paged KV cache — XLA reference implementations.
+
+These are the correctness-reference implementations used by CPU tests and
+as the fallback attention path; the Pallas TPU kernels in
+:mod:`.pallas.paged_attention` implement the same contracts without
+materializing gathered KV (the TPU replacement for the reference's CUDA
+decoding-attention kernel family, ``resource_manager.cc:74-112``).
+
+Contracts (per layer):
+
+- decode: one new query token per row, attends to cache[0:context_len).
+- prefill: ``new_len`` new query tokens per row starting at absolute
+  position ``start`` (start > 0 == prefix-cache-hit continuation, the
+  reference's ``ENGINE_CONF_CACHE_PREFILL`` path, ``llm_engine.cc:114``);
+  causal within the new tokens, full visibility of the cached prefix.
+  This step's K/V must already be appended to the cache.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import CacheSpec, gather_pages
+
+_NEG_INF = -1e30
+
+
+def _gqa_expand(x: jax.Array, num_q_heads: int) -> jax.Array:
+    """[..., kv_heads, d] -> [..., q_heads, d] by group repetition."""
+    kv_heads = x.shape[-2]
+    if kv_heads == num_q_heads:
+        return x
+    reps = num_q_heads // kv_heads
+    return jnp.repeat(x, reps, axis=-2)
+
+
+def decode_attention_ref(
+    q: jax.Array,                # [B, q_heads, head_dim]
+    cache_layer: jax.Array,      # [2, num_slots, kv_heads, head_dim]
+    scale_layer: Optional[jax.Array],
+    page_table: jax.Array,       # i32[B, P]
+    context_len: jax.Array,      # i32[B] (kv length incl. this token)
+    spec: CacheSpec,
+) -> jax.Array:                  # [B, q_heads, head_dim]
+    b, num_q_heads, head_dim = q.shape
+    k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
+                        dtype=q.dtype)          # [B, KV, kv_heads, hd]
+    k = _gqa_expand(k, num_q_heads)
+    v = _gqa_expand(v, num_q_heads)
+    kv_len = k.shape[1]
+    scores = jnp.einsum("bhd,bkhd->bhk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
+    mask = jnp.arange(kv_len)[None, :] < context_len[:, None]  # [B, KV]
+    scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhk,bkhd->bhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def prefill_attention_ref(
+    q: jax.Array,                # [Bp, Qp, q_heads, head_dim]
+    cache_layer: jax.Array,
+    scale_layer: Optional[jax.Array],
+    page_table: jax.Array,       # i32[Bp, P]
+    start: jax.Array,            # i32[Bp] absolute pos of first new token
+    new_len: jax.Array,          # i32[Bp] valid new tokens per row
+    spec: CacheSpec,
+) -> jax.Array:                  # [Bp, Qp, q_heads, head_dim]
+    bp, qp, num_q_heads, head_dim = q.shape
+    k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
+                        dtype=q.dtype)          # [Bp, KV, kv_heads, hd]
+    k = _gqa_expand(k, num_q_heads)
+    v = _gqa_expand(v, num_q_heads)
+    kv_len = k.shape[1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
+    # query i sits at absolute position start + i; it sees keys [0, start+i]
+    q_pos = start[:, None] + jnp.arange(qp)[None, :]            # [Bp, Qp]
+    k_idx = jnp.arange(kv_len)[None, None, :]                   # [1, 1, KV]
+    causal = k_idx <= q_pos[:, :, None]                         # [Bp, Qp, KV]
+    valid_q = jnp.arange(qp)[None, :] < new_len[:, None]        # [Bp, Qp]
+    mask = causal & valid_q[:, :, None]
+    scores = jnp.where(mask[:, None, :, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked (padding) query rows: make output zeros, not NaN
+    probs = jnp.where(valid_q[:, None, :, None], probs, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

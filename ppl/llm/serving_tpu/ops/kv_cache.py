@@ -1,0 +1,154 @@
+"""Paged KV-cache device layout and in-place update ops.
+
+TPU-native replacement for the reference's four CUDA cache layouts
+(``llm_engine.cc:122-162``): ONE canonical paged layout chosen for TPU
+gather/scatter efficiency (SURVEY.md section 7.3 "pick one"):
+
+    cache:  [num_layers, 2, num_slots, num_kv_heads, head_dim]
+    scale:  [num_layers, 2, num_slots, num_kv_heads, head_dim // group]
+
+where ``num_slots = (num_pages + 1) * page_size`` — flat token slots, so a
+(page, offset) pair addresses slot ``page * page_size + offset``. The extra
+page at index ``num_pages`` is the *trash page*: writes from padding tokens
+land there, which keeps every step's scatter fully dense (no predication)
+at the cost of one wasted page.
+
+KV heads are the tensor-parallel sharding axis (reference shards
+``num_kv_heads / tp`` in every cache shape, ``llm_engine.cc:122-162``).
+
+INT8 KV quantization matches the reference scheme (cache_quant_bit=8,
+cache_quant_group=8, ``llm_generator.cc:131-137``): symmetric per-group
+absmax scales over groups of 8 elements along head_dim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheSpec:
+    num_layers: int
+    num_pages: int  # usable pages (excludes the trash page)
+    page_size: int
+    num_kv_heads: int
+    head_dim: int
+    quant_bit: int = 0  # 0 (= dtype below) or 8 (int8 + per-group scales)
+    quant_group: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_slots(self) -> int:
+        return (self.num_pages + 1) * self.page_size
+
+    @property
+    def trash_page(self) -> int:
+        return self.num_pages
+
+    @property
+    def quantized(self) -> bool:
+        return self.quant_bit == 8
+
+
+def init_cache(spec: CacheSpec):
+    """Allocate the (cache, scale) pair; scale is None when unquantized."""
+    kv_dtype = jnp.int8 if spec.quantized else spec.dtype
+    cache = jnp.zeros(
+        (spec.num_layers, 2, spec.num_slots, spec.num_kv_heads, spec.head_dim),
+        dtype=kv_dtype,
+    )
+    scale = None
+    if spec.quantized:
+        scale = jnp.zeros(
+            (spec.num_layers, 2, spec.num_slots, spec.num_kv_heads,
+             spec.head_dim // spec.quant_group),
+            dtype=jnp.bfloat16,
+        )
+    return cache, scale
+
+
+def quantize_kv(x: jax.Array, group: int) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-group int8 quantization along the last dim.
+
+    x: [..., head_dim] -> (int8 values [..., head_dim],
+                           scales [..., head_dim // group])
+    """
+    shape = x.shape
+    g = x.reshape(*shape[:-1], shape[-1] // group, group).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(g), axis=-1)
+    scale = absmax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-8), 0.0)
+    q = jnp.clip(jnp.round(g * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(shape), scale.astype(jnp.bfloat16)
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, group: int,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """Inverse of :func:`quantize_kv`."""
+    shape = q.shape
+    g = q.reshape(*shape[:-1], shape[-1] // group, group).astype(jnp.float32)
+    out = g * scale.astype(jnp.float32)[..., None]
+    return out.reshape(shape).astype(dtype)
+
+
+def token_slots(page_table: jax.Array, positions: jax.Array,
+                rows: jax.Array, page_size: int) -> jax.Array:
+    """Flat cache slots for tokens at ``positions`` of batch ``rows``.
+
+    page_table: i32[B, PMAX]; positions/rows: i32[T] -> slots i32[T].
+    Out-of-range positions must have been pointed at the trash page by the
+    host-side page table fill.
+    """
+    page_idx = positions // page_size
+    offset = positions % page_size
+    pages = page_table[rows, page_idx]
+    return pages * page_size + offset
+
+
+def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
+              k: jax.Array, v: jax.Array, slots: jax.Array,
+              spec: CacheSpec) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scatter this step's new K/V into one layer's cache at ``slots``.
+
+    cache_layer: [2, num_slots, kv_heads, head_dim] (int8 or dtype)
+    k, v: [T, kv_heads, head_dim] in compute dtype
+    slots: i32[T] (padding tokens -> trash-page slots)
+    """
+    if spec.quantized:
+        qk, sk = quantize_kv(k, spec.quant_group)
+        qv, sv = quantize_kv(v, spec.quant_group)
+        cache_layer = cache_layer.at[0, slots].set(qk)
+        cache_layer = cache_layer.at[1, slots].set(qv)
+        scale_layer = scale_layer.at[0, slots].set(sk)
+        scale_layer = scale_layer.at[1, slots].set(sv)
+    else:
+        cache_layer = cache_layer.at[0, slots].set(k.astype(cache_layer.dtype))
+        cache_layer = cache_layer.at[1, slots].set(v.astype(cache_layer.dtype))
+    return cache_layer, scale_layer
+
+
+def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
+                 page_table: jax.Array, spec: CacheSpec,
+                 dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Densify rows' KV from the paged pool (XLA reference path only; the
+    Pallas kernels read pages in place).
+
+    page_table: i32[B, P] -> k, v: [B, P * page_size, kv_heads, head_dim]
+    """
+    b, p = page_table.shape
+    base = page_table[..., None] * spec.page_size + jnp.arange(
+        spec.page_size, dtype=page_table.dtype)
+    slots = base.reshape(b, p * spec.page_size)
+    k = cache_layer[0, slots]
+    v = cache_layer[1, slots]
+    if spec.quantized:
+        k = dequantize_kv(k, scale_layer[0, slots], spec.quant_group, dtype)
+        v = dequantize_kv(v, scale_layer[1, slots], spec.quant_group, dtype)
+    else:
+        k = k.astype(dtype)
+        v = v.astype(dtype)
+    return k, v

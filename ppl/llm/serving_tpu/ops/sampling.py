@@ -1,0 +1,126 @@
+"""On-device sampling and penalties.
+
+TPU-native replacement for the reference's CUDA sampling stack
+(``CudaPostProcessor``, ``src/backends/cuda/post_processor.cc:121-281``,
+kernels ``ppl::kernel::llm::cuda::pmx::{sample_topk_topp, apply_penalty}``):
+
+- per-request temperature / top-k / top-p with logprob output,
+- repetition / presence / frequency penalties backed by a persistent
+  token-count map of ``[num_slots, vocab]`` keyed by batch slots
+  (``post_processor.cc:94-117``), updated on device by scatter-add,
+- randomness from the JAX PRNG *on device* (the reference uploads host
+  ``rand()`` values per step, ``post_processor.cc:179-188`` — a host
+  round-trip TPUs don't need).
+
+Everything here runs inside the same jitted step program as the forward
+pass, so "choose token" costs no extra dispatch (a deliberate departure
+from the reference's separate kernel launches, SURVEY.md section 3.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+class SamplingParams(NamedTuple):
+    """Per-row sampling parameters, all shaped [B]."""
+
+    temperature: jax.Array        # f32; <=0 treated as 1.0
+    top_k: jax.Array              # i32; 0 = disabled (full vocab)
+    top_p: jax.Array              # f32; 0 = disabled
+    do_sample: jax.Array          # bool; False = greedy argmax
+    repetition_penalty: jax.Array  # f32; 1.0 = off
+    presence_penalty: jax.Array   # f32; 0.0 = off
+    frequency_penalty: jax.Array  # f32; 0.0 = off
+
+
+def init_count_map(num_slots: int, vocab_size: int) -> jax.Array:
+    """Persistent token-count map [num_slots + 1, vocab]; the extra row is
+    the trash slot for padding rows (mirrors the reference's
+    ``max_running_batch x vocab_size`` count map, ``post_processor.cc:94-117``,
+    in int32 — TPUs have no uint16 scatter-add)."""
+    return jnp.zeros((num_slots + 1, vocab_size), dtype=jnp.int32)
+
+
+def update_count_map(count_map: jax.Array, tokens: jax.Array,
+                     slots: jax.Array) -> jax.Array:
+    """Scatter-add token occurrences: tokens i32[T], slots i32[T] (padding
+    tokens must carry the trash slot)."""
+    return count_map.at[slots, tokens].add(1)
+
+
+def clear_count_slots(count_map: jax.Array, slots: jax.Array) -> jax.Array:
+    """Zero freed batch slots (slot reuse across requests)."""
+    return count_map.at[slots].set(0)
+
+
+def apply_penalties(logits: jax.Array, count_map: jax.Array,
+                    batch_slots: jax.Array,
+                    params: SamplingParams) -> jax.Array:
+    """Reference ``apply_penalty`` semantics (``post_processor.cc:221-281``):
+
+    - repetition: logit /= p if logit > 0 else logit *= p, for seen tokens
+    - presence: logit -= p for seen tokens
+    - frequency: logit -= p * count
+    """
+    counts = count_map[batch_slots].astype(jnp.float32)     # [B, V]
+    seen = counts > 0
+    rep = params.repetition_penalty[:, None]
+    logits = jnp.where(
+        seen,
+        jnp.where(logits > 0, logits / rep, logits * rep),
+        logits,
+    )
+    logits = jnp.where(seen, logits - params.presence_penalty[:, None], logits)
+    logits = logits - params.frequency_penalty[:, None] * counts
+    return logits
+
+
+def sample_top_k_top_p(
+    logits: jax.Array,            # f32[B, V]
+    params: SamplingParams,
+    rng: jax.Array,               # PRNG key
+) -> Tuple[jax.Array, jax.Array]:
+    """Temperature -> top-k -> top-p -> categorical sample (or greedy).
+
+    Returns (tokens i32[B], logprobs f32[B]); logprob is the post-
+    temperature log-softmax at the chosen token, matching the reference's
+    ``sample_topk_topp`` logprob output (``post_processor.cc:190-216``).
+    """
+    b, v = logits.shape
+    temp = jnp.where(params.temperature > 0, params.temperature, 1.0)
+    scaled = logits.astype(jnp.float32) / temp[:, None]
+    logprobs_full = jax.nn.log_softmax(scaled, axis=-1)
+
+    order = jnp.argsort(-scaled, axis=-1)                   # [B, V] desc
+    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+
+    rank = jnp.arange(v, dtype=jnp.int32)[None, :]
+    k_eff = jnp.where(params.top_k > 0, params.top_k, v)[:, None]
+    k_mask = rank < k_eff
+
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # exclusive cumsum: keep tokens while mass *before* them < top_p, which
+    # always keeps the top token even when top_p is tiny.
+    cum_before = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+    p_eff = jnp.where(params.top_p > 0, params.top_p, 1.0)[:, None]
+    p_mask = cum_before < p_eff
+
+    allowed = k_mask & p_mask
+    masked = jnp.where(allowed, sorted_logits, _NEG_INF)
+
+    gumbel = jax.random.gumbel(rng, (b, v), dtype=jnp.float32)
+    noise = jnp.where(params.do_sample[:, None], gumbel, 0.0)
+    # re-normalize within the allowed set before adding gumbel noise so
+    # top-p truncation renormalization is exact
+    masked_logprobs = jax.nn.log_softmax(masked, axis=-1)
+    choice = jnp.argmax(masked_logprobs + noise, axis=-1)    # [B] in sorted order
+    tokens = jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0]
+    logprob = jnp.take_along_axis(
+        logprobs_full, tokens[:, None], axis=-1)[:, 0]
+    return tokens.astype(jnp.int32), logprob

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppl.llm.serving_tpu.ops import kv_cache as kv_ops
+from ppl.llm.serving_tpu.ops.kv_cache import CacheSpec
+
+
+def make_spec(**kw):
+    base = dict(num_layers=2, num_pages=8, page_size=4, num_kv_heads=2,
+                head_dim=8, dtype=jnp.float32)
+    base.update(kw)
+    return CacheSpec(**base)
+
+
+def test_init_shapes():
+    spec = make_spec()
+    cache, scale = kv_ops.init_cache(spec)
+    assert cache.shape == (2, 2, 9 * 4, 2, 8)
+    assert scale is None
+    qspec = make_spec(quant_bit=8, quant_group=8)
+    cache, scale = kv_ops.init_cache(qspec)
+    assert cache.dtype == jnp.int8
+    assert scale.shape == (2, 2, 9 * 4, 2, 1)
+
+
+def test_token_slots():
+    spec = make_spec()
+    pt = jnp.array([[5, 6, spec.trash_page],
+                    [2, spec.trash_page, spec.trash_page]], jnp.int32)
+    pos = jnp.array([0, 3, 4, 1], jnp.int32)
+    rows = jnp.array([0, 0, 0, 1], jnp.int32)
+    slots = kv_ops.token_slots(pt, pos, rows, spec.page_size)
+    np.testing.assert_array_equal(slots, [20, 23, 24, 9])
+
+
+def test_append_and_gather_roundtrip():
+    spec = make_spec()
+    cache, scale = kv_ops.init_cache(spec)
+    key = jax.random.PRNGKey(0)
+    t = 6
+    k = jax.random.normal(key, (t, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(1), (t, 2, 8))
+    # one sequence occupying pages [3, 1], positions 0..5
+    pt = jnp.array([[3, 1]], jnp.int32)
+    pos = jnp.arange(t, dtype=jnp.int32)
+    rows = jnp.zeros(t, jnp.int32)
+    slots = kv_ops.token_slots(pt, pos, rows, spec.page_size)
+    layer0 = cache[0]
+    layer0, _ = kv_ops.append_kv(layer0, None, k, v, slots, spec)
+    gk, gv = kv_ops.gather_pages(layer0, None, pt, spec, dtype=jnp.float32)
+    np.testing.assert_allclose(gk[0, :t], k, rtol=1e-6)
+    np.testing.assert_allclose(gv[0, :t], v, rtol=1e-6)
+
+
+def test_quantize_roundtrip_error():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (16, 4, 64))
+    q, s = kv_ops.quantize_kv(x, 8)
+    assert q.dtype == jnp.int8 and s.shape == (16, 4, 8)
+    x2 = kv_ops.dequantize_kv(q, s, 8, dtype=jnp.float32)
+    err = jnp.abs(x2 - x).max() / jnp.abs(x).max()
+    assert err < 0.02  # int8 per-group-8 absmax quantization
+
+
+def test_quantized_append_gather():
+    spec = make_spec(quant_bit=8, quant_group=8)
+    cache, scale = kv_ops.init_cache(spec)
+    k = jax.random.normal(jax.random.PRNGKey(3), (4, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(4), (4, 2, 8))
+    pt = jnp.array([[0, spec.trash_page]], jnp.int32)
+    slots = kv_ops.token_slots(pt, jnp.arange(4), jnp.zeros(4, jnp.int32),
+                               spec.page_size)
+    layer0, slayer0 = kv_ops.append_kv(cache[0], scale[0], k, v, slots, spec)
+    gk, gv = kv_ops.gather_pages(layer0, slayer0, pt, spec, jnp.float32)
+    np.testing.assert_allclose(gk[0, :4], k, atol=0.05)
+    np.testing.assert_allclose(gv[0, :4], v, atol=0.05)
+
+
+def test_trash_page_isolation():
+    """Padding-token writes to the trash page must not disturb real pages."""
+    spec = make_spec()
+    cache, _ = kv_ops.init_cache(spec)
+    layer0 = cache[0]
+    k_real = jnp.ones((1, 2, 8))
+    pt = jnp.array([[2, spec.trash_page]], jnp.int32)
+    slots = kv_ops.token_slots(pt, jnp.array([0]), jnp.array([0]),
+                               spec.page_size)
+    layer0, _ = kv_ops.append_kv(layer0, None, k_real, k_real, slots, spec)
+    # padding writes at positions mapping to the trash page
+    k_junk = jnp.full((3, 2, 8), 99.0)
+    junk_slots = kv_ops.token_slots(pt, jnp.array([4, 5, 6]),
+                                    jnp.zeros(3, jnp.int32), spec.page_size)
+    layer0, _ = kv_ops.append_kv(layer0, None, k_junk, k_junk, junk_slots, spec)
+    gk, _ = kv_ops.gather_pages(layer0, None, jnp.array([[2]], jnp.int32),
+                                spec, jnp.float32)
+    np.testing.assert_allclose(gk[0, 0], jnp.ones((2, 8)), rtol=1e-6)
+    assert not jnp.any(gk[0, 1:] == 99.0)

@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppl.llm.serving_tpu.ops import sampling as S
+
+
+def make_params(b, **kw):
+    base = dict(
+        temperature=jnp.ones(b), top_k=jnp.zeros(b, jnp.int32),
+        top_p=jnp.zeros(b), do_sample=jnp.ones(b, bool),
+        repetition_penalty=jnp.ones(b), presence_penalty=jnp.zeros(b),
+        frequency_penalty=jnp.zeros(b),
+    )
+    for k, v in kw.items():
+        base[k] = v
+    return S.SamplingParams(**base)
+
+
+def test_greedy():
+    logits = jnp.array([[0.1, 5.0, 0.2, 0.3], [9.0, 0.0, 0.0, 0.0]])
+    p = make_params(2, do_sample=jnp.zeros(2, bool))
+    toks, lp = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(toks, [1, 0])
+    expected = jax.nn.log_softmax(logits)[jnp.arange(2), toks]
+    np.testing.assert_allclose(lp, expected, rtol=1e-5)
+
+
+def test_top_k_restricts_support():
+    logits = jnp.array([[3.0, 2.0, 1.0, 0.0, -1.0]] * 64)
+    p = make_params(64, top_k=jnp.full(64, 2, jnp.int32))
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(1))
+    assert set(np.asarray(toks).tolist()) <= {0, 1}
+
+
+def test_top_p_keeps_top_token_when_tiny():
+    logits = jnp.array([[2.0, 1.0, 0.0]] * 8)
+    p = make_params(8, top_p=jnp.full(8, 1e-6))
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(toks, np.zeros(8))
+
+
+def test_top_p_mass():
+    # probs ~ [0.64, 0.23, 0.09, 0.03]; top_p=0.7 keeps first two
+    logits = jnp.log(jnp.array([[0.64, 0.23, 0.09, 0.03]] * 256))
+    p = make_params(256, top_p=jnp.full(256, 0.7))
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(3))
+    assert set(np.asarray(toks).tolist()) <= {0, 1}
+
+
+def test_temperature_flattens():
+    logits = jnp.array([[2.0, 0.0]] * 2000)
+    hot = make_params(2000, temperature=jnp.full(2000, 100.0))
+    toks, _ = S.sample_top_k_top_p(logits, hot, jax.random.PRNGKey(4))
+    frac = np.mean(np.asarray(toks) == 0)
+    assert 0.4 < frac < 0.6  # near-uniform at high temperature
+
+
+def test_sampling_distribution_matches():
+    probs = np.array([0.5, 0.3, 0.2])
+    logits = jnp.log(jnp.tile(probs, (4000, 1)))
+    p = make_params(4000)
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(5))
+    counts = np.bincount(np.asarray(toks), minlength=3) / 4000
+    np.testing.assert_allclose(counts, probs, atol=0.04)
+
+
+def test_per_row_params_independent():
+    logits = jnp.array([[1.0, 0.9, 0.1], [1.0, 0.9, 0.1]])
+    p = make_params(
+        2,
+        top_k=jnp.array([1, 0], jnp.int32),
+        do_sample=jnp.array([True, False]),
+    )
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(6))
+    assert toks[0] == 0  # top_k=1 forces argmax even when sampling
+
+
+class TestPenalties:
+    def test_count_map_update(self):
+        cm = S.init_count_map(num_slots=4, vocab_size=8)
+        assert cm.shape == (5, 8)
+        cm = S.update_count_map(cm, jnp.array([1, 1, 3]),
+                                jnp.array([0, 0, 2]))
+        assert cm[0, 1] == 2 and cm[2, 3] == 1
+        cm = S.clear_count_slots(cm, jnp.array([0]))
+        assert cm[0, 1] == 0 and cm[2, 3] == 1
+
+    def test_repetition_penalty(self):
+        cm = S.init_count_map(2, 4)
+        cm = S.update_count_map(cm, jnp.array([0, 2]), jnp.array([0, 0]))
+        logits = jnp.array([[2.0, 1.0, -1.0, 0.5]])
+        p = make_params(1, repetition_penalty=jnp.array([2.0]))
+        out = S.apply_penalties(logits, cm, jnp.array([0]), p)
+        np.testing.assert_allclose(out[0], [1.0, 1.0, -2.0, 0.5], rtol=1e-6)
+
+    def test_presence_frequency(self):
+        cm = S.init_count_map(2, 4)
+        cm = S.update_count_map(cm, jnp.array([1, 1, 1]),
+                                jnp.array([0, 0, 0]))
+        logits = jnp.zeros((1, 4))
+        p = make_params(1, presence_penalty=jnp.array([0.5]),
+                        frequency_penalty=jnp.array([0.25]))
+        out = S.apply_penalties(logits, cm, jnp.array([0]), p)
+        # token 1: -0.5 (presence) - 3*0.25 (frequency)
+        np.testing.assert_allclose(out[0], [0, -1.25, 0, 0], rtol=1e-6)
+
+    def test_penalty_slot_isolation(self):
+        cm = S.init_count_map(2, 4)
+        cm = S.update_count_map(cm, jnp.array([1]), jnp.array([0]))
+        logits = jnp.zeros((2, 4))
+        p = make_params(2, presence_penalty=jnp.full(2, 1.0))
+        out = S.apply_penalties(logits, cm, jnp.array([0, 1]), p)
+        assert out[0, 1] == -1.0 and out[1, 1] == 0.0
