@@ -1,0 +1,313 @@
+"""LLMEngine: device-state owner and bucketed step dispatcher.
+
+The TPU analog of the reference engine + resource-manager pair
+(``src/engine/llm_engine.cc:29-236``, ``src/backends/cuda/
+resource_manager.cc:213-428``), redesigned for XLA's compile-once model:
+
+- The reference re-uploads arbitrary flat shapes each step
+  (``llm_engine.cc:40-61``); here every step is padded to a shape BUCKET
+  ``(Bd, Bp, Qp, KVP)`` so each combination traces/compiles exactly once
+  and is cached by jit thereafter (SURVEY.md section 7.3 risk #1).
+- KV cache, KV scales and the penalty count map are device-resident jax
+  arrays donated back to each step call — in-place updates, no copies.
+- The forward, KV append, attention, penalties AND sampling are one fused
+  jitted program; per-step host<->device traffic is the input metadata
+  (a few KB) down and the sampled tokens (B ints) up.
+- KV capacity is auto-sized from free device memory like
+  ``kv_cache_max_tokens = max_tokens_scale * free / block_bytes``
+  (``resource_manager.cc:329-342``).
+
+Tensor parallelism: the engine takes an optional mesh; params/cache are
+sharded via ``parallel.shardings`` and the same jitted step runs SPMD with
+XLA inserting ICI collectives (replaces the reference's per-rank NCCL
+threads, ``resource_manager.cc:373-428``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GeneratorConfig, ModelConfig, ResourceConfig
+from .models import llama
+from .ops import kv_cache as kv_ops
+from .ops import sampling as sampling_ops
+from .ops.kv_cache import CacheSpec
+
+logger = logging.getLogger("ppl.llm.serving_tpu.engine")
+
+
+@dataclasses.dataclass
+class TaskState:
+    """Host-side per-request state (reference ``TidData``,
+    ``llm_generator.h:79-103``)."""
+
+    tid: int
+    temperature: float = 1.0
+    top_p: float = 0.0
+    top_k: int = 1
+    do_sample: bool = False
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    early_stopping: bool = True
+    is_token_in_out: bool = False
+    stop_tokens: Optional[set] = None
+
+    rest_iters: int = 0
+    total_len: int = 0
+    next_tokens: List[int] = dataclasses.field(default_factory=list)
+    start_pos: int = 0
+    steps: int = 0
+    gen_tokens_cnt: int = 0
+
+    # resources
+    cache_index: int = -1           # linear mode
+    page_list: List[int] = dataclasses.field(default_factory=list)
+    hash_list: List[int] = dataclasses.field(default_factory=list)
+    cache_hit_count: int = 0
+    slot_index: int = -1            # penalty slot
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+_PREFILL_ROW_BUCKETS = (0, 1, 2, 4, 8, 16, 32, 64)
+
+
+class LLMEngine:
+    """Owns device state and runs one continuous-batching step."""
+
+    def __init__(self, model_cfg: ModelConfig, resource_cfg: ResourceConfig,
+                 params: Dict[str, Any], spec: CacheSpec,
+                 enable_penalty: bool = False,
+                 max_batch_slots: int = 0,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 rng_seed: int = 0):
+        self.model_cfg = model_cfg
+        self.resource_cfg = resource_cfg
+        self.spec = spec
+        self.enable_penalty = enable_penalty
+        self.mesh = mesh
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._step_counter = 0
+
+        self.kv_cache, kv_scale = kv_ops.init_cache(spec)
+        if kv_scale is None:
+            kv_scale = jnp.zeros((spec.num_layers, 1),
+                                 jnp.bfloat16 if model_cfg.dtype == "bfloat16"
+                                 else jnp.float32)
+        self.kv_scale = kv_scale
+        if enable_penalty:
+            self.count_map = sampling_ops.init_count_map(
+                max_batch_slots, model_cfg.vocab_size)
+        else:
+            self.count_map = jnp.zeros((1, 1), jnp.int32)
+        if mesh is not None:
+            from .parallel import shardings
+            self._params, self.kv_cache, self.kv_scale, self.count_map = (
+                shardings.shard_engine_state(
+                    mesh, model_cfg, spec, self._params, self.kv_cache,
+                    self.kv_scale, self.count_map))
+
+        step = llama.make_step_fn(model_cfg, spec,
+                                  enable_penalty=enable_penalty)
+        # donate device state so cache updates are in-place
+        self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
+        self._clear_slots = jax.jit(
+            sampling_ops.clear_count_slots, donate_argnums=(0,))
+
+        self.batch_buckets = tuple(resource_cfg.batch_buckets)
+        self.token_buckets = tuple(resource_cfg.token_buckets)
+        self.max_kv_pages = max(
+            1, -(-GeneratorConfig().max_total_tokens_per_request
+                 // spec.page_size))
+
+    # -- bucketing -----------------------------------------------------------
+
+    def _kvp_bucket(self, max_pages: int) -> int:
+        b = 1
+        while b < max_pages:
+            b *= 2
+        return min(b, max(self.max_kv_pages, 1))
+
+    def set_max_kv_pages(self, n: int) -> None:
+        self.max_kv_pages = max(1, n)
+
+    # -- step ----------------------------------------------------------------
+
+    def execute(self, tasks: List[TaskState], profiler=None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run one fused step for ``tasks``; returns (tokens, logprobs)
+        aligned with ``tasks`` order.
+
+        Decode-mode rows are tasks with exactly one new token; prefill-mode
+        rows have more (``decoding_batches`` split, ``llm_engine.cc:80-108``).
+        """
+        t0 = time.perf_counter_ns()
+        decode_idx = [i for i, t in enumerate(tasks)
+                      if len(t.next_tokens) == 1]
+        prefill_idx = [i for i, t in enumerate(tasks)
+                       if len(t.next_tokens) > 1]
+
+        bd = _bucket(max(len(decode_idx), 1), self.batch_buckets)
+        bp = _bucket(len(prefill_idx), _PREFILL_ROW_BUCKETS)
+        qp = (_bucket(max(len(tasks[i].next_tokens)
+                          for i in prefill_idx), self.token_buckets)
+              if prefill_idx else self.token_buckets[0])
+        max_pages = 1
+        for t in tasks:
+            need = -(-(t.start_pos + len(t.next_tokens)) // self.spec.page_size)
+            max_pages = max(max_pages, need)
+        kvp = self._kvp_bucket(max_pages)
+
+        b = bd + bp
+        trash_page = self.spec.trash_page
+        trash_slot = self.count_map.shape[0] - 1
+
+        decode_tokens = np.zeros(bd, np.int32)
+        decode_pos = np.zeros(bd, np.int32)
+        prefill_tokens = np.zeros((bp, qp), np.int32)
+        prefill_start = np.zeros(bp, np.int32)
+        prefill_len = np.zeros(bp, np.int32)
+        page_table = np.full((b, kvp), trash_page, np.int32)
+        context_len = np.zeros(b, np.int32)
+        batch_slots = np.full(b, trash_slot, np.int32)
+        temperature = np.ones(b, np.float32)
+        top_k = np.ones(b, np.int32)
+        top_p = np.zeros(b, np.float32)
+        do_sample = np.zeros(b, bool)
+        rep_pen = np.ones(b, np.float32)
+        pres_pen = np.zeros(b, np.float32)
+        freq_pen = np.zeros(b, np.float32)
+
+        def fill_row(row: int, t: TaskState) -> None:
+            pages = t.page_list[:kvp]
+            page_table[row, :len(pages)] = pages
+            context_len[row] = t.start_pos + len(t.next_tokens)
+            if t.slot_index >= 0:
+                batch_slots[row] = t.slot_index
+            temperature[row] = t.temperature
+            top_k[row] = t.top_k
+            top_p[row] = t.top_p
+            do_sample[row] = t.do_sample
+            rep_pen[row] = t.repetition_penalty
+            pres_pen[row] = t.presence_penalty
+            freq_pen[row] = t.frequency_penalty
+
+        for row, i in enumerate(decode_idx):
+            t = tasks[i]
+            decode_tokens[row] = t.next_tokens[0]
+            decode_pos[row] = t.start_pos
+            fill_row(row, t)
+        for prow, i in enumerate(prefill_idx):
+            t = tasks[i]
+            n = len(t.next_tokens)
+            prefill_tokens[prow, :n] = t.next_tokens
+            prefill_start[prow] = t.start_pos
+            prefill_len[prow] = n
+            fill_row(bd + prow, t)
+
+        inp = llama.StepInput(
+            decode_tokens=jnp.asarray(decode_tokens),
+            decode_pos=jnp.asarray(decode_pos),
+            prefill_tokens=jnp.asarray(prefill_tokens),
+            prefill_start=jnp.asarray(prefill_start),
+            prefill_len=jnp.asarray(prefill_len),
+            page_table=jnp.asarray(page_table),
+            context_len=jnp.asarray(context_len),
+            batch_slots=jnp.asarray(batch_slots),
+            sampling=sampling_ops.SamplingParams(
+                temperature=jnp.asarray(temperature),
+                top_k=jnp.asarray(top_k),
+                top_p=jnp.asarray(top_p),
+                do_sample=jnp.asarray(do_sample),
+                repetition_penalty=jnp.asarray(rep_pen),
+                presence_penalty=jnp.asarray(pres_pen),
+                frequency_penalty=jnp.asarray(freq_pen),
+            ),
+        )
+        rng = jax.random.fold_in(self._rng, self._step_counter)
+        self._step_counter += 1
+        t1 = time.perf_counter_ns()
+
+        out = self._jit_step(self._params, self.kv_cache, self.kv_scale,
+                             self.count_map, inp, rng)
+        self.kv_cache = out.kv_cache
+        self.kv_scale = out.kv_scale
+        self.count_map = out.count_map
+        t2 = time.perf_counter_ns()
+
+        tokens = np.asarray(out.tokens)   # device sync point
+        logprobs = np.asarray(out.logprobs)
+        t3 = time.perf_counter_ns()
+
+        if profiler is not None:
+            c = profiler.current
+            c.set_input_cost = (t1 - t0) // 1000
+            c.model_forward_cost = (t2 - t1) // 1000
+            c.choose_token_cost = (t3 - t2) // 1000
+
+        # reorder to task order
+        out_tokens = np.zeros(len(tasks), np.int32)
+        out_logprobs = np.zeros(len(tasks), np.float32)
+        for row, i in enumerate(decode_idx):
+            out_tokens[i] = tokens[row]
+            out_logprobs[i] = logprobs[row]
+        for prow, i in enumerate(prefill_idx):
+            out_tokens[i] = tokens[bd + prow]
+            out_logprobs[i] = logprobs[bd + prow]
+        return out_tokens, out_logprobs
+
+    def clear_penalty_slots(self, slots: Sequence[int]) -> None:
+        if self.enable_penalty and len(slots):
+            self.count_map = self._clear_slots(
+                self.count_map, jnp.asarray(list(slots), jnp.int32))
+
+    # -- memory --------------------------------------------------------------
+
+    def device_memory_stats(self) -> Tuple[int, int]:
+        """(total_bytes, free_bytes); zeros when the backend has no stats
+        (CPU tests)."""
+        try:
+            dev = jax.local_devices()[0]
+            stats = dev.memory_stats()
+            if stats and "bytes_limit" in stats:
+                total = stats["bytes_limit"]
+                free = total - stats.get("bytes_in_use", 0)
+                return int(total), int(free)
+        except Exception:  # pragma: no cover
+            pass
+        return 0, 0
+
+
+def compute_kv_cache_max_tokens(model_cfg: ModelConfig,
+                                resource_cfg: ResourceConfig,
+                                free_bytes: int) -> int:
+    """``kv_cache_max_tokens = max_tokens_scale * free / block_bytes``
+    (``resource_manager.cc:329-342``); block = K+V across layers (+scales
+    when int8-quantized). With TP, heads per chip shrink but so does
+    per-chip free memory; token capacity is per-replica and the formula is
+    unchanged for kv-head-sharded caches."""
+    if resource_cfg.kv_cache_max_tokens:
+        return resource_cfg.kv_cache_max_tokens
+    elem = 1 if model_cfg.cache_quant_bit == 8 else 2
+    block = (model_cfg.num_layers * 2 * model_cfg.num_kv_heads
+             * model_cfg.head_dim * elem)
+    if model_cfg.cache_quant_bit == 8:
+        block += (model_cfg.num_layers * 2 * model_cfg.num_kv_heads
+                  * model_cfg.head_dim // model_cfg.cache_quant_group * 2)
+    if free_bytes <= 0 or block <= 0:
+        return 16384  # CPU-test default
+    return int(resource_cfg.max_tokens_scale * free_bytes / block)

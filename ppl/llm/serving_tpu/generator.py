@@ -1,0 +1,538 @@
+"""LLMGenerator: the continuous-batching decode loop.
+
+Semantics-equivalent rebuild of the reference generator
+(``src/generator/llm_generator.cc``), the heart of the system:
+
+- request admission with token/batch budgets and FIFO-preserving stash
+  (``llm_generator.cc:590-656``),
+- linear or paged KV allocation with prefix-cache probing, LRU eviction
+  and the cooldown-on-OOM admission throttle (``:480-572``),
+- per-step execution through :class:`~.engine.LLMEngine`,
+- stop/length finish logic (``:720-731``),
+- streaming detokenize+send overlapped with the next step
+  (``:58-112, 737-748``),
+- resource release on finish/cancel/failure (``:387-439``),
+- step profiling (``:768-780``).
+
+Host concurrency is Python threads: one generate thread (the only mutable
+owner of scheduling state, like the reference's single generate pthread),
+a one-worker decode executor, and frontend threads that only touch the
+MPSC scheduler; the GIL releases during device execution so the decode
+worker genuinely overlaps the forward pass.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+from .config import GeneratorConfig, ModelConfig
+from .connection import Connection
+from .engine import LLMEngine, TaskState
+from .profiler import WorkerProfiler, print_profiler
+from .request import FinishFlag, Request, Response
+from .tokenizer import Tokenizer
+from .utils import (IndexManager, PageManager, PrefixCacheManager,
+                    RequestScheduler, StreamDetokenizer, TimingGuard, now_us)
+from .utils.hashing import hash_page
+from .utils.index_manager import INVALID_INDEX
+
+logger = logging.getLogger("ppl.llm.serving_tpu.generator")
+
+_FROM_WORKER = 0
+_FROM_CONN = 1
+
+
+class _CheckResult:
+    """Admission scratch state (reference ``RequestCheckResult``)."""
+
+    def __init__(self):
+        self.reset_step(0)
+        self.reset_request()
+
+    def reset_step(self, running_batch: int) -> None:
+        self.total_tokens_per_step = running_batch
+        self.running_batch = running_batch
+        self.prefill_batch = 0
+
+    def reset_request(self) -> None:
+        self.cache_index = INVALID_INDEX
+        self.page_list: List[int] = []
+        self.hash_list: List[int] = []
+        self.cache_hit_count = 0
+        self.slot_index = -1
+        self.rest_iters = -1
+        self.first_fill_len = 0
+        self.errmsg = ""
+
+
+class _LlmRequest:
+    __slots__ = ("orig", "enqueue_ts")
+
+    def __init__(self, orig: Request):
+        self.orig = orig
+        self.enqueue_ts = now_us()
+
+
+class LLMGenerator:
+    def __init__(self, model_cfg: ModelConfig, gen_cfg: GeneratorConfig,
+                 engine: LLMEngine, tokenizer: Optional[Tokenizer],
+                 connection: Connection, kv_cache_max_tokens: int):
+        model_cfg.validate()
+        gen_cfg.validate()
+        self.model_cfg = model_cfg
+        self.gen_cfg = gen_cfg
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.conn = connection
+        self.kv_cache_max_tokens = kv_cache_max_tokens
+
+        self.idx_mgr = IndexManager(kv_cache_max_tokens
+                                    // model_cfg.page_size)  # units: pages
+        self.page_mgr = PageManager(kv_cache_max_tokens, model_cfg.page_size)
+        self.prefix_cache = PrefixCacheManager()
+        self.batch_slots_mgr = IndexManager(gen_cfg.max_running_batch)
+        engine.set_max_kv_pages(
+            -(-gen_cfg.max_total_tokens_per_request // model_cfg.page_size))
+
+        self.sched = RequestScheduler()
+        self.profiler = WorkerProfiler()
+        self._finished: "queue.SimpleQueue[Tuple[int, int]]" = queue.SimpleQueue()
+        self._tid_list: List[TaskState] = []
+        self._tid_map: Dict[int, TaskState] = {}
+        self._decoder = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="detok")
+        self._decode_state: Dict[int, StreamDetokenizer] = {}
+        self._decode_future: Optional[Future] = None
+
+        self._wake = threading.Condition()
+        self._active = True
+        self._thread = threading.Thread(target=self._thread_func,
+                                        name="generate", daemon=True)
+        self._thread.start()
+
+    # -- frontend API --------------------------------------------------------
+
+    def process(self, req: Request) -> None:
+        """Tokenize + enqueue (``llm_generator.cc:788-814``); called from
+        frontend threads."""
+        if req.token_ids is not None:
+            req.is_token_in_out = True
+        with TimingGuard() as tg:
+            if not req.is_token_in_out:
+                req.token_ids = self.tokenizer.encode(req.prompt)
+                if req.stop_tokens is None:
+                    req.stop_tokens = {self.tokenizer.eos_id}
+                self.conn.on_tokenize(req.id, req.token_ids)
+        self.profiler.global_.input_token_cnt += len(req.token_ids)
+        self.profiler.req_counter.encode_cnt += 1
+        self.profiler.req_counter.encode_cost += tg.us
+
+        maybe_empty = self.sched.push_request(_LlmRequest(req))
+        if maybe_empty:
+            with self._wake:
+                self._wake.notify()
+
+    def clear_task(self, tid: int) -> None:
+        """Cancel on client disconnect (``grpc_server.cc:274-295`` ->
+        ``llm_generator.h:143-145``)."""
+        self._finished.put((tid, _FROM_CONN))
+
+    def shutdown(self) -> None:
+        self._active = False
+        with self._wake:
+            self._wake.notify()
+        self._thread.join(timeout=30)
+        self._decoder.shutdown(wait=True)
+
+    # -- generate thread -----------------------------------------------------
+
+    def _thread_func(self) -> None:
+        while True:
+            with self._wake:
+                self._wake.wait_for(
+                    lambda: not self._active
+                    or self.sched.get_pending_size() > 0)
+                if not self._active:
+                    return
+            try:
+                self._generate()
+            except Exception:  # pragma: no cover - last-resort guard
+                logger.exception("generate loop crashed")
+                self._release_all("internal error in generate loop")
+
+    # -- admission -----------------------------------------------------------
+
+    def _check_total_len(self, req: Request, res: _CheckResult) -> bool:
+        """``CheckTotalLen`` (``llm_generator.cc:441-478``)."""
+        cfg = self.gen_cfg
+        if res.first_fill_len > cfg.max_input_tokens_per_request:
+            res.errmsg = (
+                f"id [{req.id}] invalid input token len: "
+                f"{res.first_fill_len}, server allowed max input len: "
+                f"{cfg.max_input_tokens_per_request}")
+            res.first_fill_len = -1
+            return False
+        res.rest_iters = req.generation_length
+        if req.generation_length > cfg.max_output_tokens_per_request:
+            res.rest_iters = cfg.max_output_tokens_per_request
+        if (res.first_fill_len + req.generation_length
+                > cfg.max_total_tokens_per_request):
+            res.rest_iters = (cfg.max_total_tokens_per_request
+                              - res.first_fill_len)
+        if res.rest_iters <= 0:
+            res.errmsg = f"id [{req.id}] no generation budget left"
+            return False
+        return True
+
+    def _check_and_alloc_memory(self, req: Request, res: _CheckResult
+                                ) -> bool:
+        """``CheckAndAllocGPUMemory`` (``llm_generator.cc:480-572``)."""
+        cfg, mc = self.gen_cfg, self.model_cfg
+        total_len = res.first_fill_len + res.rest_iters - 1
+        if mc.cache_mode == 0:
+            # linear mode: one CONTIGUOUS run of pages per request (the
+            # reference's contiguous token-slot allocator, index_manager.h:
+            # 61-72, page-aligned here so both cache modes share the same
+            # paged device layout)
+            n_pages = -(-total_len // mc.page_size)
+            res.cache_index = self.idx_mgr.alloc(n_pages)
+            if res.cache_index == INVALID_INDEX:
+                self._cooldown = min(
+                    max(1, int(len(self._tid_list) * 0.1)),
+                    cfg.max_cooldown_request)
+                return False
+            res.page_list = list(range(res.cache_index,
+                                       res.cache_index + n_pages))
+        else:
+            page_size = mc.page_size
+            start = 0
+            if cfg.enable_prefix_cache:
+                token_ids = req.token_ids
+                prev_hash = 0
+                while start + page_size <= len(token_ids):
+                    h = hash_page(prev_hash, token_ids[start:start + page_size])
+                    page_id = self.prefix_cache.find(h)
+                    if page_id == -1:
+                        break
+                    prev_hash = h
+                    res.page_list.append(page_id)
+                    res.hash_list.append(h)
+                    start += page_size
+                self.prefix_cache.inc_ref_count(res.hash_list)
+
+                need = -(-(total_len - start) // page_size)
+                avail = self.page_mgr.get_avail()
+                if avail < need:
+                    evicted = self.prefix_cache.evict(need - avail)
+                    self.page_mgr.free(evicted)
+                    if len(evicted) < need - avail:
+                        self.prefix_cache.dec_ref_count(res.hash_list)
+                        self._cooldown = min(
+                            max(1, int(len(self._tid_list) * 0.1)),
+                            cfg.max_cooldown_request)
+                        return False
+                res.cache_hit_count = len(res.hash_list) * page_size
+                self.profiler.global_.cache_hit_count += res.cache_hit_count
+                if res.cache_hit_count:
+                    logger.info("Cache hit [%d]/[%d] input tokens",
+                                res.cache_hit_count, len(token_ids))
+                fresh = self.page_mgr.alloc(need)
+                if fresh is None:
+                    self.prefix_cache.dec_ref_count(res.hash_list)
+                    return False
+                res.page_list.extend(fresh)
+                # register this prompt's newly filled full pages; invariant:
+                # the first len(hash_list) entries of page_list are owned by
+                # the prefix cache (DeleteTasks frees only the tail,
+                # llm_generator.cc:420-424)
+                prev = prev_hash
+                pos = start
+                while pos + page_size <= len(token_ids):
+                    h = hash_page(prev, token_ids[pos:pos + page_size])
+                    idx = pos // page_size
+                    if not self.prefix_cache.insert(h, res.page_list[idx]):
+                        # an identical prefix was admitted this same round:
+                        # share its page (same tokens -> same KV written this
+                        # step) and return ours; insert() already bumped the
+                        # existing entry's refcount for us
+                        self.page_mgr.free([res.page_list[idx]])
+                        res.page_list[idx] = self.prefix_cache.find(h)
+                    res.hash_list.append(h)
+                    prev = h
+                    pos += page_size
+            else:
+                need = -(-total_len // page_size)
+                pages = self.page_mgr.alloc(need)
+                if pages is None:
+                    self._cooldown = min(
+                        max(1, int(len(self._tid_list) * 0.1)),
+                        cfg.max_cooldown_request)
+                    return False
+                res.page_list = pages
+        if cfg.enable_penalty:
+            res.slot_index = self.batch_slots_mgr.alloc(1)
+            if res.slot_index == INVALID_INDEX:
+                return False
+        return True
+
+    def _parse_request(self, lreq: _LlmRequest, res: _CheckResult) -> bool:
+        """``ParseRequest`` (``llm_generator.cc:193-261``). Returns False
+        only on unrecoverable internal error."""
+        req = lreq.orig
+        if res.rest_iters <= 0 or res.first_fill_len == -1:
+            self.conn.notify_failure(req.id, 1, res.errmsg)
+            return True
+
+        t = TaskState(
+            tid=req.id,
+            temperature=req.temperature,
+            top_p=req.top_p,
+            top_k=req.top_k if req.top_k > 0 else self.gen_cfg.top_k,
+            do_sample=(req.top_k != 1),
+            repetition_penalty=req.repetition_penalty,
+            presence_penalty=req.presence_penalty,
+            frequency_penalty=req.frequency_penalty,
+            early_stopping=req.early_stopping,
+            is_token_in_out=req.is_token_in_out,
+            stop_tokens=req.stop_tokens,
+            rest_iters=res.rest_iters,
+            total_len=res.first_fill_len + res.rest_iters,
+            cache_index=res.cache_index,
+            page_list=res.page_list,
+            hash_list=res.hash_list,
+            cache_hit_count=res.cache_hit_count,
+            slot_index=res.slot_index,
+        )
+        hit = res.cache_hit_count
+        token_ids = req.token_ids
+        if hit == 0:
+            t.next_tokens = list(token_ids)
+            t.start_pos = 0
+        elif hit == len(token_ids):
+            # full hit: replay the last token so this step still produces
+            # the first generated token (llm_generator.cc:233-238)
+            t.next_tokens = [token_ids[-1]]
+            t.start_pos = hit - 1
+        else:
+            t.next_tokens = list(token_ids[hit:])
+            t.start_pos = hit
+
+        self._tid_list.append(t)
+        self._tid_map[t.tid] = t
+        return True
+
+    # -- resource release ----------------------------------------------------
+
+    def _free_task_resources(self, t: TaskState) -> None:
+        if self.model_cfg.cache_mode == 0:
+            self.idx_mgr.free(t.cache_index, len(t.page_list))
+        else:
+            if self.gen_cfg.enable_prefix_cache:
+                n_prefix = len(t.hash_list)
+                self.prefix_cache.dec_ref_count(t.hash_list)
+                self.page_mgr.free(t.page_list[n_prefix:])
+            else:
+                self.page_mgr.free(t.page_list)
+        if self.gen_cfg.enable_penalty and t.slot_index >= 0:
+            self.batch_slots_mgr.free(t.slot_index, 1)
+
+    def _delete_finished(self) -> List[int]:
+        """Drain the finished queue, free resources, compact the task list
+        (``DeleteTasks`` + ``RemoveFinishedTask``,
+        ``llm_generator.cc:387-439,300-340``)."""
+        removed_slots: List[int] = []
+        gone: set = set()
+        while True:
+            try:
+                tid, _src = self._finished.get_nowait()
+            except queue.Empty:
+                break
+            t = self._tid_map.pop(tid, None)
+            if t is None:
+                continue
+            if _src == _FROM_CONN:
+                # canceled mid-stream: drop the detok state on its owner
+                # thread (worker-finished tasks clean up in _decode_and_send)
+                self._decoder.submit(self._decode_state.pop, tid, None)
+            self._free_task_resources(t)
+            if t.slot_index >= 0:
+                removed_slots.append(t.slot_index)
+            gone.add(tid)
+            self.profiler.finished_task_cnt += 1
+            self.profiler.req_counter.output_tokens_per_req += t.gen_tokens_cnt
+        if gone:
+            self._tid_list = [t for t in self._tid_list if t.tid not in gone]
+            self.engine.clear_penalty_slots(removed_slots)
+        return removed_slots
+
+    def _release_all(self, errmsg: str) -> None:
+        """Engine failure: fail everything (``llm_generator.cc:681-688``)."""
+        for t in self._tid_list:
+            self.conn.notify_failure(t.tid, 1, errmsg)
+            self._free_task_resources(t)
+        self._tid_list.clear()
+        self._tid_map.clear()
+        self.prefix_cache.reset()
+        self._decode_state.clear()
+
+    # -- decode + send (runs on the detok worker) ---------------------------
+
+    def _decode_and_send(self, items: List[Tuple[int, int, float,
+                                                 FinishFlag, bool, bool]]
+                         ) -> None:
+        """``DecodeAndSendTask`` (``llm_generator.cc:58-112``)."""
+        rsp_list = []
+        for tid, token, logprob, flag, is_special, token_in_out in items:
+            rsp = Response(id=tid, token=token, logprob=logprob,
+                           finish_flag=flag, is_special=is_special)
+            if not token_in_out:
+                det = self._decode_state.get(tid)
+                if det is None:
+                    det = StreamDetokenizer(self.tokenizer.decode)
+                    self._decode_state[tid] = det
+                rsp.generated = det.feed(token)
+                if flag != FinishFlag.NOT_FINISHED:
+                    rsp.generated += det.flush()
+            if flag != FinishFlag.NOT_FINISHED:
+                self._decode_state.pop(tid, None)
+            rsp_list.append(rsp)
+        self.conn.send(rsp_list)
+
+    # -- THE hot loop (``llm_generator.cc:574-785``) ------------------------
+
+    def _generate(self) -> None:
+        cfg = self.gen_cfg
+        self._cooldown = 0
+        res = _CheckResult()
+        loop_step = 0
+
+        def check_func(lreq: _LlmRequest) -> bool:
+            res.reset_request()
+            res.first_fill_len = len(lreq.orig.token_ids)
+            # Validate BEFORE the budget gate: an invalid request must be
+            # admitted-to-fail-fast, never stashed — the reference checks
+            # the budget first (llm_generator.cc:596-604), which lets a
+            # prompt longer than max_tokens_per_step block the FIFO forever.
+            if not self._check_total_len(lreq.orig, res):
+                logger.error("%s", res.errmsg)
+                return True  # admitted to fail fast in _parse_request
+            res.total_tokens_per_step += res.first_fill_len
+            if res.total_tokens_per_step > cfg.max_tokens_per_step:
+                res.total_tokens_per_step -= res.first_fill_len
+                return False
+            if not self._check_and_alloc_memory(lreq.orig, res):
+                res.total_tokens_per_step -= res.first_fill_len
+                return False
+            res.running_batch += 1
+            res.prefill_batch += 1
+            return True
+
+        while True:
+            t_step0 = now_us()
+            res.reset_step(len(self._tid_list))
+            prof = self.profiler
+            with TimingGuard() as prep_t:
+                while True:
+                    if (res.running_batch >= cfg.max_running_batch
+                            or res.prefill_batch >= cfg.max_prefill_batch
+                            or self._cooldown > 0):
+                        break
+                    lreq = self.sched.try_pop_request(check_func)
+                    if lreq is None:
+                        break
+                    prof.req_counter.waiting_cnt += 1
+                    prof.req_counter.waiting_cost += now_us() - lreq.enqueue_ts
+                    self._parse_request(lreq, res)
+                running_batch = len(self._tid_list)
+                if running_batch == 0:
+                    break
+                prof.max_running_task = max(prof.max_running_task,
+                                            running_batch)
+                prefill_batch = res.prefill_batch
+            prof.current.prepare_cost = prep_t.us
+
+            tasks = self._tid_list
+            try:
+                tokens, logprobs = self.engine.execute(tasks, profiler=prof)
+            except Exception as e:  # engine failure fails all running tasks
+                logger.exception("engine execute failed")
+                if self._decode_future is not None:
+                    self._decode_future.result()
+                    self._decode_future = None
+                self._release_all(f"engine execute failed: {e}")
+                break
+
+            with TimingGuard() as post_t:
+                # join the previous step's detokenize before mutating the
+                # shared decode state (llm_generator.cc:695-697)
+                if self._decode_future is not None:
+                    self._decode_future.result()
+                    self._decode_future = None
+
+                send_items = []
+                n_prefill_tokens = 0
+                for i, t in enumerate(tasks):
+                    gen_token = int(tokens[i])
+                    logprob = float(logprobs[i])
+                    t.gen_tokens_cnt += 1
+                    prev_seqlen = len(t.next_tokens)
+                    if prev_seqlen > 1:
+                        n_prefill_tokens += prev_seqlen
+                    t.next_tokens = [gen_token]
+                    t.start_pos += prev_seqlen
+                    t.steps += 1
+                    t.rest_iters -= 1
+
+                    flag = FinishFlag.NOT_FINISHED
+                    if t.rest_iters <= 0:
+                        flag = FinishFlag.LENGTH
+                    elif t.early_stopping and (
+                            gen_token in cfg.stop_tokens
+                            or (t.stop_tokens
+                                and gen_token in t.stop_tokens)):
+                        flag = FinishFlag.EOS_TOKEN
+                    if flag != FinishFlag.NOT_FINISHED:
+                        if self._cooldown > 0:
+                            self._cooldown -= 1
+                        self._finished.put((t.tid, _FROM_WORKER))
+                    is_special = gen_token in cfg.special_tokens
+                    send_items.append((t.tid, gen_token, logprob, flag,
+                                       is_special, t.is_token_in_out))
+                    prof.global_.output_token_cnt += 1
+
+                self._decode_future = self._decoder.submit(
+                    self._decode_and_send, send_items)
+                self._delete_finished()
+            prof.current.post_process_cost = post_t.us
+
+            prof.current.total_cost = now_us() - t_step0
+            prof.accumulate_step()
+            prof.pending_task_size = self.sched.get_pending_size()
+            loop_step += 1
+
+            if cfg.enable_profiling and (
+                    loop_step == 1 or loop_step % 100 == 0
+                    or not self._tid_list):
+                prof.running_task = running_batch
+                prof.prefill_batch = prefill_batch
+                prof.prefill_tokens = n_prefill_tokens
+                prof.kv_max_blk = self.kv_cache_max_tokens
+                prof.kv_rest_blk = self.model_cfg.page_size * (
+                    self.idx_mgr.get_available_block_num()
+                    if self.model_cfg.cache_mode == 0
+                    else self.page_mgr.get_avail())
+                total, free = self.engine.device_memory_stats()
+                prof.dev_mem_total, prof.dev_mem_free = total, free
+                self.conn.on_profiling(prof)
+
+        if self._decode_future is not None:
+            self._decode_future.result()
+            self._decode_future = None
+
+
+def default_on_profiling(profiler: WorkerProfiler) -> None:
+    print_profiler(profiler)

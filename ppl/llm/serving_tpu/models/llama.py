@@ -149,8 +149,19 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
         ])                                                          # i32[T]
         flat_tokens = jnp.concatenate(
             [inp.decode_tokens, inp.prefill_tokens.reshape(-1)])
+        # Padding prefill tokens may carry positions beyond the page table's
+        # columns; XLA's clamping gather would then alias them onto a REAL
+        # page and clobber live KV. Route every invalid token's write to the
+        # trash page explicitly.
+        valid_flat = jnp.concatenate([
+            jnp.ones(bd, bool),
+            (jnp.arange(qp, dtype=jnp.int32)[None, :]
+             < inp.prefill_len[:, None]).reshape(-1),
+        ])
         slots = kv_ops.token_slots(inp.page_table, flat_pos, flat_rows,
                                    spec.page_size)                  # i32[T]
+        slots = jnp.where(valid_flat, slots,
+                          spec.trash_page * spec.page_size)
 
         pt_decode = inp.page_table[:bd]
         pt_prefill = inp.page_table[bd:]

@@ -1,0 +1,100 @@
+"""Checkpoint loading: HF safetensors -> stacked fused param pytree.
+
+TPU-native replacement for the ppl.pmx exporter + model_slice loading
+(``resource_manager.cc:278-290``, ``docs/llama_guide.md:14-36``): instead
+of pre-slicing weights per TP rank on disk, weights load once into the
+stacked layout of :mod:`.llama` and ``jax.device_put`` with a NamedSharding
+performs the TP slicing (XLA shards on transfer; no per-rank files).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+logger = logging.getLogger("ppl.llm.serving_tpu.loader")
+
+
+def _np_dtype(dtype: str):
+    return {"bfloat16": jnp.bfloat16, "float32": np.float32,
+            "float16": np.float16}[dtype]
+
+
+def load_hf_safetensors(model_dir: str, cfg: ModelConfig) -> Dict[str, Any]:
+    """Load a HuggingFace llama-family safetensors checkpoint directory."""
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {model_dir}")
+    tensors: Dict[str, np.ndarray] = {}
+    for path in files:
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+
+    dtype = _np_dtype(cfg.dtype)
+    L = cfg.num_layers
+
+    def get(name):
+        t = tensors[name]
+        if t.dtype == np.uint16:  # safetensors numpy view of bf16
+            t = t.view(jnp.bfloat16)
+        return np.asarray(t)
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i)) for i in range(L)]
+        if transpose:
+            ws = [w.T for w in ws]
+        return jnp.asarray(np.stack(ws), dtype=dtype)
+
+    wq = stack("model.layers.{}.self_attn.q_proj.weight")
+    wk = stack("model.layers.{}.self_attn.k_proj.weight")
+    wv = stack("model.layers.{}.self_attn.v_proj.weight")
+    embed = jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in tensors:
+        lm_head = embed.T
+    else:
+        lm_head = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+    params = {
+        "embedding": embed,
+        "layers": {
+            "attn_norm": stack("model.layers.{}.input_layernorm.weight",
+                               transpose=False),
+            "ffn_norm": stack(
+                "model.layers.{}.post_attention_layernorm.weight",
+                transpose=False),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "w_gate_up": jnp.concatenate(
+                [stack("model.layers.{}.mlp.gate_proj.weight"),
+                 stack("model.layers.{}.mlp.up_proj.weight")], axis=-1),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
+        "lm_head": lm_head,
+    }
+    logger.info("loaded %d tensors from %s", len(tensors), model_dir)
+    return params
+
+
+def load_params(cfg: ModelConfig, model_format: str, model_dir: str,
+                seed: int = 0) -> Dict[str, Any]:
+    """Dispatch on ``model_format``: "hf" safetensors or "random" weights
+    (tests/benchmarks — serving throughput is weight-value independent)."""
+    if model_format == "hf":
+        return load_hf_safetensors(model_dir, cfg)
+    if model_format == "random":
+        import jax
+        from . import llama
+        dtype = _np_dtype(cfg.dtype)
+        return llama.init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    raise ValueError(f"unknown model_format {model_format}")

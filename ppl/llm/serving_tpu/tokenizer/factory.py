@@ -51,16 +51,34 @@ class ModelTokenizer(Tokenizer):
         return self._backend.vocab_size
 
 
+class ByteTokenizer(Tokenizer):
+    """Byte-level tokenizer for benchmarks/tests with random weights
+    (no tokenizer files required; throughput is tokenizer-independent)."""
+
+    bos_id = 1
+    eos_id = 2
+    vocab_size = 256
+
+    def encode(self, text: str) -> List[int]:
+        return [self.bos_id] + list(text.encode("utf-8"))
+
+    def decode(self, token_ids: Sequence[int]) -> str:
+        return bytes(t for t in token_ids if 0 <= t < 256).decode(
+            "utf-8", errors="replace")
+
+
 def create_tokenizer(model_type: str, path: str,
                      tokenizer_type: Optional[str] = None,
                      config_path: Optional[str] = None) -> Tokenizer:
     """``TokenizerFactory::Create(model_type, tokenizer_type, path,
     config_path)`` equivalent.
 
-    ``tokenizer_type``: "hf" | "sentencepiece" | None (auto by extension:
-    .json -> hf, .model -> sentencepiece; a directory looks for
+    ``tokenizer_type``: "hf" | "sentencepiece" | "dummy" | None (auto by
+    extension: .json -> hf, .model -> sentencepiece; a directory looks for
     tokenizer.json / tokenizer.model inside).
     """
+    if tokenizer_type == "dummy":
+        return ByteTokenizer()
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "tokenizer.json")):
             config_path = config_path or os.path.join(

@@ -1,0 +1,134 @@
+"""Shared CLI wiring for the serving tools (flag surface mirrors
+``tools/llm_server.cc:43-94`` where meaningful on TPU)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
+                                        ResourceConfig)
+
+
+def parse_tokens_list(text: str):
+    """Comma-separated token-id list (``utils.cc:66-75``)."""
+    if not text:
+        return frozenset()
+    return frozenset(int(t) for t in text.split(",") if t.strip())
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model-dir", default="",
+                   help="HF safetensors checkpoint dir")
+    p.add_argument("--model-param-path", default="",
+                   help="exporter params.json (reference-compatible); "
+                        "defaults to <model-dir>/config.json as HF config")
+    p.add_argument("--model-format", default="hf",
+                   choices=["hf", "random"])
+    p.add_argument("--model-type", default="llama")
+    p.add_argument("--tokenizer-path", default="")
+    p.add_argument("--tokenizer-type", default=None,
+                   choices=[None, "hf", "sentencepiece", "dummy"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--quant-method", default="none",
+                   choices=["none", "online_i8i8"])
+    p.add_argument("--cache-quant-bit", type=int, default=None,
+                   help="override KV quant (0 or 8)")
+    p.add_argument("--page-size", type=int, default=128)
+    p.add_argument("--cache-mode", type=int, default=1, choices=[0, 1])
+    p.add_argument("--tensor-parallel-size", type=int, default=1)
+    p.add_argument("--max-tokens-scale", type=float, default=0.94)
+    p.add_argument("--kv-cache-max-tokens", type=int, default=0,
+                   help="override auto KV pool sizing")
+
+
+def add_generator_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--top-p", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=1)
+    p.add_argument("--max-running-batch", type=int, default=1024)
+    p.add_argument("--max-prefill-batch", type=int, default=64)
+    p.add_argument("--max-tokens-per-step", type=int, default=8192)
+    p.add_argument("--max-input-tokens-per-request", type=int, default=4096)
+    p.add_argument("--max-output-tokens-per-request", type=int, default=4096)
+    p.add_argument("--max-total-tokens-per-request", type=int, default=8192)
+    p.add_argument("--max-cooldown-request", type=int, default=2)
+    p.add_argument("--stop-tokens", default="",
+                   help="comma-separated global stop token ids")
+    p.add_argument("--special-tokens", default="",
+                   help="comma-separated special token ids")
+    p.add_argument("--enable-prefix-cache", action="store_true")
+    p.add_argument("--enable-penalty", action="store_true")
+    p.add_argument("--enable-profiling", action="store_true")
+    p.add_argument("--disable-log-req", action="store_true")
+
+
+def apply_platform_env() -> None:
+    """Honor PPL_PLATFORM=cpu|axon|tpu even though the environment's site
+    hook pins JAX_PLATFORMS before our code runs."""
+    plat = os.environ.get("PPL_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
+def build_configs(args):
+    apply_platform_env()
+    """flags -> (ModelConfig, ResourceConfig, GeneratorConfig), with the
+    reference's cross-flag rules (prefix-cache => max_prefill_batch=1,
+    ``llm_server.cc:102-104``)."""
+    if args.model_param_path:
+        model_cfg = ModelConfig.from_params_json(args.model_param_path)
+        model_cfg.dtype = args.dtype
+    else:
+        cfg_json = os.path.join(args.model_dir, "config.json")
+        if args.model_format == "hf" and os.path.exists(cfg_json):
+            model_cfg = ModelConfig.from_hf_config(
+                cfg_json, dtype=args.dtype, cache_mode=args.cache_mode,
+                page_size=args.page_size)
+        else:
+            raise SystemExit("need --model-param-path or a HF --model-dir")
+    if args.cache_quant_bit is not None:
+        model_cfg.cache_quant_bit = args.cache_quant_bit
+        model_cfg.cache_quant_group = 8 if args.cache_quant_bit == 8 else 1
+
+    resource_cfg = ResourceConfig(
+        model_type=args.model_type,
+        model_format=args.model_format,
+        model_dir=args.model_dir,
+        tokenizer_path=args.tokenizer_path or args.model_dir,
+        tensor_parallel_size=args.tensor_parallel_size,
+        max_tokens_scale=args.max_tokens_scale,
+        kv_cache_max_tokens=args.kv_cache_max_tokens,
+        max_running_batch=args.max_running_batch,
+        enable_penalty=args.enable_penalty,
+        quant_method=args.quant_method,
+    )
+    max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch
+    gen_cfg = GeneratorConfig(
+        top_p=args.top_p,
+        top_k=args.top_k,
+        enable_penalty=args.enable_penalty,
+        max_running_batch=args.max_running_batch,
+        max_prefill_batch=max_prefill,
+        max_tokens_per_step=args.max_tokens_per_step,
+        max_input_tokens_per_request=args.max_input_tokens_per_request,
+        max_output_tokens_per_request=args.max_output_tokens_per_request,
+        max_total_tokens_per_request=args.max_total_tokens_per_request,
+        max_cooldown_request=args.max_cooldown_request,
+        stop_tokens=parse_tokens_list(args.stop_tokens),
+        special_tokens=parse_tokens_list(args.special_tokens),
+        enable_prefix_cache=args.enable_prefix_cache,
+        enable_profiling=args.enable_profiling,
+    )
+    return model_cfg, resource_cfg, gen_cfg
+
+
+def setup_logging(verbose: bool = True) -> None:
+    logging.basicConfig(
+        level=logging.INFO if verbose else logging.WARNING,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")

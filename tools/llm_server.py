@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""The serving daemon (reference ``tools/llm_server.cc:255-348``): wires
+config -> engine -> generator -> gRPC frontend and serves
+``LLMService.Generation`` streams, wire-compatible with the reference's
+clients."""
+
+import argparse
+import faulthandler
+import signal
+
+from common import add_generator_args, add_model_args, build_configs, \
+    setup_logging
+
+from ppl.llm.serving_tpu.generator import LLMGenerator
+from ppl.llm.serving_tpu.resources import create_engine
+from ppl.llm.serving_tpu.serving.grpc_server import GRPCConnection, GRPCServer
+from ppl.llm.serving_tpu.tokenizer import create_tokenizer
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_model_args(parser)
+    add_generator_args(parser)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=23333)
+    args = parser.parse_args()
+    setup_logging()
+    # crash backtraces (reference installs a SIGSEGV/FPE/ILL handler,
+    # llm_server.cc:240-253)
+    faulthandler.enable()
+    faulthandler.register(signal.SIGTERM, chain=True)
+
+    model_cfg, resource_cfg, gen_cfg = build_configs(args)
+    tokenizer = create_tokenizer(args.model_type, resource_cfg.tokenizer_path,
+                                 args.tokenizer_type)
+    engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
+
+    conn = GRPCConnection()
+    generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,
+                             kv_max)
+    server = GRPCServer(conn, generator.process, generator.clear_task)
+    server.init(args.host, args.port)
+    print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
+    server.loop()
+
+
+if __name__ == "__main__":
+    main()
