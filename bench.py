@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Round benchmark: end-to-end continuous-batching decode throughput.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+
+Measures the full serving stack (generator + engine + fused step) on the
+flagship single-chip config — TinyLlama-1.1B shapes, bf16, random weights
+(throughput is weight-value independent) — with a decode-heavy continuous
+batch. ``vs_baseline`` is the fraction of the single-chip HBM roofline
+achieved (decode is bandwidth-bound: roofline tokens/s = HBM_BW /
+bytes_touched_per_token); the reference publishes no numbers to compare
+against (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
+                                        ResourceConfig)
+from ppl.llm.serving_tpu.connection import LocalConnection
+from ppl.llm.serving_tpu.generator import LLMGenerator
+from ppl.llm.serving_tpu.request import Request
+from ppl.llm.serving_tpu.resources import create_engine
+from ppl.llm.serving_tpu.tokenizer.factory import ByteTokenizer
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        model_cfg = ModelConfig(
+            hidden_dim=2048, intermediate_dim=5632, num_layers=22,
+            num_heads=32, num_kv_heads=4, vocab_size=32000,
+            cache_mode=1, page_size=128, dtype="bfloat16")
+        batch, prompt_len, gen_len = 64, 128, 128
+        kv_tokens = 128 * 1024
+    else:  # smoke-test fallback so the bench runs anywhere
+        model_cfg = ModelConfig(
+            hidden_dim=64, intermediate_dim=128, num_layers=2,
+            num_heads=4, num_kv_heads=2, vocab_size=256,
+            cache_mode=1, page_size=16, dtype="float32")
+        batch, prompt_len, gen_len = 8, 16, 16
+        kv_tokens = 4096
+
+    resource_cfg = ResourceConfig(
+        model_format="random",
+        kv_cache_max_tokens=kv_tokens,
+        token_buckets=(prompt_len, 2 * prompt_len, 8192),
+        batch_buckets=(batch, 4 * batch),
+    )
+    gen_cfg = GeneratorConfig(
+        max_running_batch=4 * batch, max_prefill_batch=batch,
+        max_tokens_per_step=max(8192, batch * prompt_len),
+        max_input_tokens_per_request=4096,
+        max_output_tokens_per_request=4096,
+        max_total_tokens_per_request=8192,
+    )
+    engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
+    conn = LocalConnection()
+    gen = LLMGenerator(model_cfg, gen_cfg, engine, ByteTokenizer(), conn,
+                       kv_max)
+
+    rng = np.random.RandomState(0)
+
+    def make_reqs(base, n):
+        return [Request(id=base + i,
+                        token_ids=rng.randint(
+                            3, model_cfg.vocab_size - 1,
+                            size=prompt_len).tolist(),
+                        generation_length=gen_len, top_k=1,
+                        early_stopping=False)
+                for i in range(n)]
+
+    # warmup: trigger all bucket compiles
+    warm = make_reqs(10_000, 2)
+    conn.set_wanted(len(warm))
+    for r in warm:
+        gen.process(r)
+    conn.wait(timeout=1800)
+
+    # measured run
+    reqs = make_reqs(0, batch)
+    first_token_ts = {}
+    t_start = time.perf_counter()
+    conn._on_first_token = lambda tid: first_token_ts.setdefault(
+        tid, time.perf_counter())
+    conn.set_wanted(len(reqs))
+    for r in reqs:
+        gen.process(r)
+    ok = conn.wait(timeout=1800)
+    elapsed = time.perf_counter() - t_start
+    gen.shutdown()
+    if not ok:
+        print(json.dumps({"metric": "output_tokens_per_sec_per_chip",
+                          "value": 0, "unit": "tokens/s",
+                          "vs_baseline": 0, "error": "timeout"}))
+        return
+
+    out_tokens = sum(len(v) for k, v in conn.tokens.items() if k < 10_000)
+    tps = out_tokens / elapsed
+    ttfts = sorted(first_token_ts[r.id] - t_start for r in reqs
+                   if r.id in first_token_ts)
+    p50_ttft_ms = ttfts[len(ttfts) // 2] * 1e3 if ttfts else -1
+
+    # decode roofline: every decode step reads all weights + the batch's KV
+    param_bytes = 2 * (
+        model_cfg.vocab_size * model_cfg.hidden_dim * 2
+        + model_cfg.num_layers * (
+            model_cfg.hidden_dim * (model_cfg.num_heads
+                                    + 2 * model_cfg.num_kv_heads)
+            * model_cfg.head_dim
+            + model_cfg.num_heads * model_cfg.head_dim * model_cfg.hidden_dim
+            + 3 * model_cfg.hidden_dim * model_cfg.intermediate_dim))
+    kv_bytes_per_seq = (model_cfg.num_layers * 2 * model_cfg.num_kv_heads
+                        * model_cfg.head_dim * 2
+                        * (prompt_len + gen_len / 2))
+    step_bytes = param_bytes + batch * kv_bytes_per_seq
+    roofline_tps = V5E_HBM_GBPS * 1e9 / step_bytes * batch
+    vs = tps / roofline_tps if on_tpu else 0.0
+
+    print(json.dumps({
+        "metric": "output_tokens_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs, 4),
+        "config": ("tinyllama1.1b-bf16" if on_tpu else "tiny-smoke")
+        + f"-b{batch}-in{prompt_len}-out{gen_len}",
+        "p50_ttft_ms": round(p50_ttft_ms, 1),
+        "elapsed_s": round(elapsed, 2),
+        "roofline_tokens_per_sec": round(roofline_tps, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,17 @@ the reference's fused prefill+decode step (``llm_engine.h:40-95``'s
 Weights layout: per-layer tensors stacked on a leading layer axis and the
 layer loop expressed with ``lax.scan`` — compile time stays O(1) in depth.
 QKV and gate/up are pre-fused into single matmuls (the reference gets this
-from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``).
+from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``) but laid
+out so tensor-parallel sharding splits cleanly WITHOUT resharding:
+
+    wqkv:      [L, D, KVH, G+2, hd]   (G = q heads per kv head; per kv
+               head the G q columns, the k column and the v column sit
+               together, so sharding the KVH axis gives each chip whole
+               GQA groups — the reference's kv-head TP split,
+               llm_engine.cc:122-162)
+    w_gate_up: [L, D, 2, I]           (axis 3 sharding keeps gate/up halves
+               aligned per chip; a flat [D, 2I] concat would straddle
+               shard boundaries)
 """
 
 from __future__ import annotations
@@ -65,7 +75,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     from models.loader)."""
     d, hd = cfg.hidden_dim, cfg.head_dim
     n_q, n_kv, l = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
-    qkv_out = (n_q + 2 * n_kv) * hd
+    g = n_q // n_kv
     keys = jax.random.split(key, 6)
 
     def w(k, shape, scale):
@@ -77,9 +87,9 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         "layers": {
             "attn_norm": jnp.ones((l, d), dtype),
             "ffn_norm": jnp.ones((l, d), dtype),
-            "wqkv": w(keys[1], (l, d, qkv_out), s),
+            "wqkv": w(keys[1], (l, d, n_kv, g + 2, hd), s),
             "wo": w(keys[2], (l, n_q * hd, d), (n_q * hd) ** -0.5),
-            "w_gate_up": w(keys[3], (l, d, 2 * cfg.intermediate_dim), s),
+            "w_gate_up": w(keys[3], (l, d, 2, cfg.intermediate_dim), s),
             "w_down": w(keys[4], (l, cfg.intermediate_dim, d),
                         cfg.intermediate_dim ** -0.5),
         },
@@ -174,14 +184,14 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
         def layer(x, xs):
             p, cache_l, scale_l = xs
             h = rms_norm(x, p["attn_norm"], eps)
-            qkv = jnp.dot(h, p["wqkv"], preferred_element_type=jnp.float32)
-            qkv = qkv.astype(compute_dtype)
-            q, k, v = jnp.split(
-                qkv, [n_q * hd, (n_q + n_kv) * hd], axis=-1)
             t = x.shape[0]
-            q = q.reshape(t, n_q, hd)
-            k = k.reshape(t, n_kv, hd)
-            v = v.reshape(t, n_kv, hd)
+            g = n_q // n_kv
+            qkv = jnp.einsum("td,dkch->tkch", h, p["wqkv"],
+                             preferred_element_type=jnp.float32)
+            qkv = qkv.astype(compute_dtype)        # [T, KVH, G+2, hd]
+            q = qkv[:, :, :g, :].reshape(t, n_q, hd)
+            k = qkv[:, :, g, :]                    # [T, KVH, hd]
+            v = qkv[:, :, g + 1, :]
             q = apply_rope(q, flat_pos, theta)
             k = apply_rope(k, flat_pos, theta)
 
@@ -200,10 +210,9 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             x = x + o.astype(compute_dtype)
 
             h = rms_norm(x, p["ffn_norm"], eps)
-            gate_up = jnp.dot(h, p["w_gate_up"],
-                              preferred_element_type=jnp.float32)
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            act = jax.nn.silu(gate) * up
+            gate_up = jnp.einsum("td,dci->tci", h, p["w_gate_up"],
+                                 preferred_element_type=jnp.float32)
+            act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
             down = jnp.dot(act.astype(compute_dtype), p["w_down"],
                            preferred_element_type=jnp.float32)
             x = x + down.astype(compute_dtype)

@@ -56,9 +56,17 @@ def load_hf_safetensors(model_dir: str, cfg: ModelConfig) -> Dict[str, Any]:
             ws = [w.T for w in ws]
         return jnp.asarray(np.stack(ws), dtype=dtype)
 
-    wq = stack("model.layers.{}.self_attn.q_proj.weight")
-    wk = stack("model.layers.{}.self_attn.k_proj.weight")
-    wv = stack("model.layers.{}.self_attn.v_proj.weight")
+    d, hd = cfg.hidden_dim, cfg.head_dim
+    n_q, n_kv = cfg.num_heads, cfg.num_kv_heads
+    g = n_q // n_kv
+    # [L, D, H*hd] -> [L, D, KVH, G, hd]: HF q head h = kv*G + g_idx uses
+    # kv head h // G, so a plain reshape lands each GQA group together
+    wq = stack("model.layers.{}.self_attn.q_proj.weight").reshape(
+        L, d, n_kv, g, hd)
+    wk = stack("model.layers.{}.self_attn.k_proj.weight").reshape(
+        L, d, n_kv, 1, hd)
+    wv = stack("model.layers.{}.self_attn.v_proj.weight").reshape(
+        L, d, n_kv, 1, hd)
     embed = jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype)
     if cfg.tie_word_embeddings or "lm_head.weight" not in tensors:
         lm_head = embed.T
@@ -72,11 +80,11 @@ def load_hf_safetensors(model_dir: str, cfg: ModelConfig) -> Dict[str, Any]:
             "ffn_norm": stack(
                 "model.layers.{}.post_attention_layernorm.weight",
                 transpose=False),
-            "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=3),
             "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate_up": jnp.concatenate(
+            "w_gate_up": jnp.stack(
                 [stack("model.layers.{}.mlp.gate_proj.weight"),
-                 stack("model.layers.{}.mlp.up_proj.weight")], axis=-1),
+                 stack("model.layers.{}.mlp.up_proj.weight")], axis=2),
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),

@@ -1,1 +1,3 @@
+from . import shardings
 
+__all__ = ["shardings"]

@@ -1,0 +1,113 @@
+"""Tensor-parallel meshes and sharding rules.
+
+TPU-native replacement for the reference's NCCL tensor parallelism
+(``resource_manager.cc:373-428``, SURVEY.md E5): instead of per-rank
+threads each binding a GPU, pre-sliced weight files and explicit NCCL
+comms, ONE jitted step runs SPMD over a ``jax.sharding.Mesh`` and XLA
+inserts the ICI collectives implied by the sharding annotations
+(all-reduce after the row-parallel wo/w_down matmuls, all-gather of
+sharded logits before sampling), overlapping them with compute via the
+latency-hiding scheduler.
+
+Sharding scheme (Megatron-style, matching the reference's head split —
+KV heads shard across TP, ``llm_engine.cc:122-162``):
+
+    embedding   [V, D]                 P('tp', None)   row (vocab) parallel
+    wqkv        [L, D, KVH, G+2, hd]   P(None, None, 'tp', None, None)
+    wo          [L, H*hd, D]           P(None, 'tp', None)   row parallel
+    w_gate_up   [L, D, 2, I]           P(None, None, None, 'tp')
+    w_down      [L, I, D]              P(None, 'tp', None)   row parallel
+    norms                              replicated
+    lm_head     [D, V]                 P(None, 'tp')   column parallel
+    kv cache    [L, 2, S, KVH, hd]     P(None, None, None, 'tp', None)
+    kv scale    [L, 2, S, KVH, hd/g]   P(None, None, None, 'tp', None)
+    count map   [slots, V]             replicated
+
+Constraints: ``num_kv_heads % tp == 0`` and ``intermediate_dim % tp == 0``
+(same kv-head divisibility the reference requires).
+
+Data parallelism is NOT an in-program axis for serving: dp replicas have
+divergent KV caches and schedules, so dp = multiple engine instances
+behind the frontend, not a mesh dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..ops.kv_cache import CacheSpec
+
+
+def make_mesh(tp_size: int, devices=None) -> Mesh:
+    """1-D tensor-parallel mesh over the first ``tp_size`` devices.
+
+    On a multi-host pod slice, ``jax.devices()`` spans all hosts and the
+    same mesh expresses cross-host TP over ICI/DCN (jax.distributed must
+    be initialized first — see parallel.multihost).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < tp_size:
+        raise ValueError(
+            f"need {tp_size} devices, have {len(devices)}")
+    arr = np.asarray(devices[:tp_size])
+    return Mesh(arr, ("tp",))
+
+
+def param_partition_specs(cfg: ModelConfig) -> Dict[str, Any]:
+    return {
+        "embedding": P("tp", None),
+        "layers": {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wqkv": P(None, None, "tp", None, None),
+            "wo": P(None, "tp", None),
+            "w_gate_up": P(None, None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def cache_partition_spec() -> P:
+    return P(None, None, None, "tp", None)
+
+
+def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
+    if cfg.num_kv_heads % tp_size:
+        raise ValueError(
+            f"num_kv_heads ({cfg.num_kv_heads}) must be divisible by "
+            f"tensor_parallel_size ({tp_size})")
+    if cfg.intermediate_dim % tp_size:
+        raise ValueError(
+            f"intermediate_dim ({cfg.intermediate_dim}) must be divisible "
+            f"by tensor_parallel_size ({tp_size})")
+    if cfg.vocab_size % tp_size:
+        raise ValueError(
+            f"vocab_size ({cfg.vocab_size}) must be divisible by "
+            f"tensor_parallel_size ({tp_size})")
+
+
+def shard_engine_state(mesh: Mesh, cfg: ModelConfig, spec: CacheSpec,
+                       params, kv_cache, kv_scale, count_map
+                       ) -> Tuple[Any, Any, Any, Any]:
+    """Place engine state onto the mesh (device_put reshards on transfer,
+    replacing the exporter's per-rank model_slice files, SURVEY.md E6)."""
+    validate_tp(cfg, mesh.devices.size)
+
+    def put(x, pspec):
+        return jax.device_put(x, NamedSharding(mesh, pspec))
+
+    params = jax.tree.map(put, params, param_partition_specs(cfg))
+    kv_cache = put(kv_cache, cache_partition_spec())
+    if kv_scale.ndim == 5:
+        kv_scale = put(kv_scale, cache_partition_spec())
+    else:  # dummy placeholder when unquantized
+        kv_scale = put(kv_scale, P(None, None))
+    count_map = put(count_map, P(None, None))
+    return params, kv_cache, kv_scale, count_map

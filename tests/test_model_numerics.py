@@ -53,9 +53,14 @@ def hf_to_params(model):
             ws = [w.T for w in ws]  # torch Linear stores [out, in]
         return jnp.asarray(np.stack(ws))
 
-    wq = stack("model.layers.{}.self_attn.q_proj.weight")
-    wk = stack("model.layers.{}.self_attn.k_proj.weight")
-    wv = stack("model.layers.{}.self_attn.v_proj.weight")
+    d, hd = CFG.hidden_dim, CFG.head_dim
+    n_kv, g = CFG.num_kv_heads, CFG.num_heads // CFG.num_kv_heads
+    wq = stack("model.layers.{}.self_attn.q_proj.weight").reshape(
+        L, d, n_kv, g, hd)
+    wk = stack("model.layers.{}.self_attn.k_proj.weight").reshape(
+        L, d, n_kv, 1, hd)
+    wv = stack("model.layers.{}.self_attn.v_proj.weight").reshape(
+        L, d, n_kv, 1, hd)
     return {
         "embedding": jnp.asarray(sd["model.embed_tokens.weight"]),
         "layers": {
@@ -64,11 +69,11 @@ def hf_to_params(model):
             "ffn_norm": stack(
                 "model.layers.{}.post_attention_layernorm.weight",
                 transpose=False),
-            "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=3),
             "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate_up": jnp.concatenate(
+            "w_gate_up": jnp.stack(
                 [stack("model.layers.{}.mlp.gate_proj.weight"),
-                 stack("model.layers.{}.mlp.up_proj.weight")], axis=-1),
+                 stack("model.layers.{}.mlp.up_proj.weight")], axis=2),
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
         },
         "final_norm": jnp.asarray(sd["model.norm.weight"]),
