@@ -122,7 +122,8 @@ class LLMEngine:
                     self.kv_scale, self.count_map))
 
         step = llama.make_step_fn(model_cfg, spec,
-                                  enable_penalty=enable_penalty)
+                                  enable_penalty=enable_penalty,
+                                  quant_method=resource_cfg.quant_method)
         # donate device state so cache updates are in-place
         self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
         self._clear_slots = jax.jit(

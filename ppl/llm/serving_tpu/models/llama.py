@@ -130,17 +130,50 @@ class StepOutput(NamedTuple):
     logits: Optional[jax.Array] = None  # [B, V]; tests only
 
 
+def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert bf16/f32 layer weights to the online-i8i8 format: each big
+    matmul weight becomes (<name>_q int8, <name>_s f32 per-out-channel).
+    Embedding / lm_head / norms stay in the float dtype (matching the
+    reference, which quantizes the transformer matmuls via the engine's
+    QUANT_METHOD_ONLINE_I8I8 and leaves embeddings alone)."""
+    from ..ops import quant as quant_ops
+
+    lp = params["layers"]
+    new_layers = {"attn_norm": lp["attn_norm"], "ffn_norm": lp["ffn_norm"]}
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        q, s = quant_ops.quantize_weight(lp[name], contract_axis=1)
+        new_layers[name + "_q"] = q
+        new_layers[name + "_s"] = s
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  enable_penalty: bool = False,
-                 return_logits: bool = False):
+                 return_logits: bool = False,
+                 quant_method: str = "none"):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
     buffer donation for kv_cache / kv_scale / count_map.
     """
+    from ..ops import quant as quant_ops
+
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps, theta = cfg.norm_eps, cfg.rope_theta
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    use_i8i8 = quant_method == "online_i8i8"
+
+    def matmul(h, p, name):
+        """One transformer matmul, float or dynamic-i8i8."""
+        if use_i8i8:
+            return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
+        if p[name].ndim == 2:
+            return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
+        letters = "kcmn"[: p[name].ndim - 1]
+        return jnp.einsum(f"td,d{letters}->t{letters}", h, p[name],
+                          preferred_element_type=jnp.float32)
 
     def step(params, kv_cache, kv_scale, count_map,
              inp: StepInput, rng: jax.Array) -> StepOutput:
@@ -186,9 +219,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             h = rms_norm(x, p["attn_norm"], eps)
             t = x.shape[0]
             g = n_q // n_kv
-            qkv = jnp.einsum("td,dkch->tkch", h, p["wqkv"],
-                             preferred_element_type=jnp.float32)
-            qkv = qkv.astype(compute_dtype)        # [T, KVH, G+2, hd]
+            qkv = matmul(h, p, "wqkv").astype(compute_dtype)
+            # [T, KVH, G+2, hd]
             q = qkv[:, :, :g, :].reshape(t, n_q, hd)
             k = qkv[:, :, g, :]                    # [T, KVH, hd]
             v = qkv[:, :, g + 1, :]
@@ -206,15 +238,13 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])
-            o = jnp.dot(attn, p["wo"], preferred_element_type=jnp.float32)
+            o = matmul(attn, p, "wo")
             x = x + o.astype(compute_dtype)
 
             h = rms_norm(x, p["ffn_norm"], eps)
-            gate_up = jnp.einsum("td,dci->tci", h, p["w_gate_up"],
-                                 preferred_element_type=jnp.float32)
+            gate_up = matmul(h, p, "w_gate_up")    # [T, 2, I]
             act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
-            down = jnp.dot(act.astype(compute_dtype), p["w_down"],
-                           preferred_element_type=jnp.float32)
+            down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
             return x, (cache_l, scale_l)
 

@@ -58,17 +58,35 @@ def make_mesh(tp_size: int, devices=None) -> Mesh:
     return Mesh(arr, ("tp",))
 
 
-def param_partition_specs(cfg: ModelConfig) -> Dict[str, Any]:
+_LAYER_SPECS = {
+    "attn_norm": P(None, None),
+    "ffn_norm": P(None, None),
+    # float weights
+    "wqkv": P(None, None, "tp", None, None),
+    "wo": P(None, "tp", None),
+    "w_gate_up": P(None, None, None, "tp"),
+    "w_down": P(None, "tp", None),
+    # online-i8i8 weights + per-out-channel scales (contraction axis gone)
+    "wqkv_q": P(None, None, "tp", None, None),
+    "wqkv_s": P(None, "tp", None, None),
+    "wo_q": P(None, "tp", None),
+    "wo_s": P(None, None),
+    "w_gate_up_q": P(None, None, None, "tp"),
+    "w_gate_up_s": P(None, None, "tp"),
+    "w_down_q": P(None, "tp", None),
+    "w_down_s": P(None, None),
+}
+
+
+def param_partition_specs(cfg: ModelConfig,
+                          params: Optional[Dict[str, Any]] = None
+                          ) -> Dict[str, Any]:
+    layer_keys = (params["layers"].keys() if params is not None
+                  else ("attn_norm", "ffn_norm", "wqkv", "wo",
+                        "w_gate_up", "w_down"))
     return {
         "embedding": P("tp", None),
-        "layers": {
-            "attn_norm": P(None, None),
-            "ffn_norm": P(None, None),
-            "wqkv": P(None, None, "tp", None, None),
-            "wo": P(None, "tp", None),
-            "w_gate_up": P(None, None, None, "tp"),
-            "w_down": P(None, "tp", None),
-        },
+        "layers": {k: _LAYER_SPECS[k] for k in layer_keys},
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
     }
@@ -103,7 +121,7 @@ def shard_engine_state(mesh: Mesh, cfg: ModelConfig, spec: CacheSpec,
     def put(x, pspec):
         return jax.device_put(x, NamedSharding(mesh, pspec))
 
-    params = jax.tree.map(put, params, param_partition_specs(cfg))
+    params = jax.tree.map(put, params, param_partition_specs(cfg, params))
     kv_cache = put(kv_cache, cache_partition_spec())
     if kv_scale.ndim == 5:
         kv_scale = put(kv_scale, cache_partition_spec())
