@@ -223,7 +223,7 @@ class ResourceConfig:
 
     # Attention kernel-variant selection (TPU analog of the reference's
     # decoding-attention engine knobs, resource_manager.cc:74-112).
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
 
     def validate(self) -> None:
         if self.tensor_parallel_size < 1 or (

@@ -121,9 +121,15 @@ class LLMEngine:
                     mesh, model_cfg, spec, self._params, self.kv_cache,
                     self.kv_scale, self.count_map))
 
+        attn_impl = resource_cfg.attention_impl
+        if attn_impl == "auto":
+            attn_impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                         else "xla")
+        self.attn_impl = attn_impl
         step = llama.make_step_fn(model_cfg, spec,
                                   enable_penalty=enable_penalty,
-                                  quant_method=resource_cfg.quant_method)
+                                  quant_method=resource_cfg.quant_method,
+                                  attn_impl=attn_impl)
         # donate device state so cache updates are in-place
         self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
         self._clear_slots = jax.jit(

@@ -90,11 +90,18 @@ class LLMGenerator:
         self.conn = connection
         self.kv_cache_max_tokens = kv_cache_max_tokens
 
-        self.idx_mgr = IndexManager(kv_cache_max_tokens
-                                    // model_cfg.page_size)  # units: pages
-        self.page_mgr = PageManager(kv_cache_max_tokens, model_cfg.page_size)
-        self.prefix_cache = PrefixCacheManager()
-        self.batch_slots_mgr = IndexManager(gen_cfg.max_running_batch)
+        # host allocators: C++ extension when built, Python reference impl
+        # otherwise (utils/_native.py)
+        from .utils._native import (get_index_manager_cls,
+                                    get_page_manager_cls,
+                                    get_prefix_cache_cls)
+        index_cls = get_index_manager_cls()
+        self.idx_mgr = index_cls(kv_cache_max_tokens
+                                 // model_cfg.page_size)  # units: pages
+        self.page_mgr = get_page_manager_cls()(kv_cache_max_tokens,
+                                               model_cfg.page_size)
+        self.prefix_cache = get_prefix_cache_cls()()
+        self.batch_slots_mgr = index_cls(gen_cfg.max_running_batch)
         engine.set_max_kv_pages(
             -(-gen_cfg.max_total_tokens_per_request // model_cfg.page_size))
 

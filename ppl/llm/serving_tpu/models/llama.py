@@ -152,18 +152,27 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
 def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  enable_penalty: bool = False,
                  return_logits: bool = False,
-                 quant_method: str = "none"):
+                 quant_method: str = "none",
+                 attn_impl: str = "xla"):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
     buffer donation for kv_cache / kv_scale / count_map.
+
+    ``attn_impl``: "xla" (gather-based reference), "pallas" (paged DMA
+    kernels, TPU), or "pallas_interpret" (kernels in interpreter mode,
+    for CPU integration tests). This is the TPU analog of the reference's
+    decoding-attention kernel-variant knobs (resource_manager.cc:74-112).
     """
     from ..ops import quant as quant_ops
+    from ..ops.pallas import paged_attention as pallas_attn
 
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps, theta = cfg.norm_eps, cfg.rope_theta
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     use_i8i8 = quant_method == "online_i8i8"
+    use_pallas = attn_impl in ("pallas", "pallas_interpret")
+    interpret = attn_impl == "pallas_interpret"
 
     def matmul(h, p, name):
         """One transformer matmul, float or dynamic-i8i8."""
@@ -230,11 +239,23 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             cache_l, scale_l = kv_ops.append_kv(
                 cache_l, scale_l, k, v, slots, spec)
 
-            attn_d = attn_ops.decode_attention_ref(
-                q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec)
-            attn_p = attn_ops.prefill_attention_ref(
-                q[bd:].reshape(bp, qp, n_q, hd), cache_l, scale_l,
-                pt_prefill, inp.prefill_start, inp.prefill_len, spec)
+            sl = scale_l if spec.quantized else None
+            if use_pallas:
+                attn_d = (pallas_attn.paged_decode_attention(
+                    q[:bd], cache_l, sl, pt_decode, ctx_decode, spec,
+                    interpret=interpret) if bd else
+                    jnp.zeros((0, n_q, hd), compute_dtype))
+                attn_p = (pallas_attn.paged_prefill_attention(
+                    q[bd:].reshape(bp, qp, n_q, hd), cache_l, sl,
+                    pt_prefill, inp.prefill_start, inp.prefill_len, spec,
+                    interpret=interpret) if bp else
+                    jnp.zeros((0, qp, n_q, hd), compute_dtype))
+            else:
+                attn_d = attn_ops.decode_attention_ref(
+                    q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec)
+                attn_p = attn_ops.prefill_attention_ref(
+                    q[bd:].reshape(bp, qp, n_q, hd), cache_l, scale_l,
+                    pt_prefill, inp.prefill_start, inp.prefill_len, spec)
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])

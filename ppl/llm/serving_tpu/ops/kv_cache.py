@@ -4,14 +4,18 @@ TPU-native replacement for the reference's four CUDA cache layouts
 (``llm_engine.cc:122-162``): ONE canonical paged layout chosen for TPU
 gather/scatter efficiency (SURVEY.md section 7.3 "pick one"):
 
-    cache:  [num_layers, 2, num_slots, num_kv_heads, head_dim]
-    scale:  [num_layers, 2, num_slots, num_kv_heads, head_dim // group]
+    cache:  [num_layers, 2, num_kv_heads, num_slots, head_dim]
+    scale:  [num_layers, 2, num_kv_heads, num_slots, head_dim // group]
 
 where ``num_slots = (num_pages + 1) * page_size`` — flat token slots, so a
-(page, offset) pair addresses slot ``page * page_size + offset``. The extra
-page at index ``num_pages`` is the *trash page*: writes from padding tokens
-land there, which keeps every step's scatter fully dense (no predication)
-at the cost of one wasted page.
+(page, offset) pair addresses slot ``page * page_size + offset``. With the
+head axis OUTSIDE the slot axis, one (head, page) tile is a contiguous
+``[page_size, head_dim]`` block — the Pallas attention kernels stream
+pages HBM->VMEM with single contiguous DMAs (this is the TPU analog of
+the reference's cache_layout knob; layout chosen for the kernel, not
+ported). The extra page at index ``num_pages`` is the *trash page*:
+writes from padding tokens land there, which keeps every step's scatter
+fully dense (no predication) at the cost of one wasted page.
 
 KV heads are the tensor-parallel sharding axis (reference shards
 ``num_kv_heads / tp`` in every cache shape, ``llm_engine.cc:122-162``).
@@ -58,13 +62,13 @@ def init_cache(spec: CacheSpec):
     """Allocate the (cache, scale) pair; scale is None when unquantized."""
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
     cache = jnp.zeros(
-        (spec.num_layers, 2, spec.num_slots, spec.num_kv_heads, spec.head_dim),
+        (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots, spec.head_dim),
         dtype=kv_dtype,
     )
     scale = None
     if spec.quantized:
         scale = jnp.zeros(
-            (spec.num_layers, 2, spec.num_slots, spec.num_kv_heads,
+            (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots,
              spec.head_dim // spec.quant_group),
             dtype=jnp.bfloat16,
         )
@@ -114,20 +118,24 @@ def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
               spec: CacheSpec) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scatter this step's new K/V into one layer's cache at ``slots``.
 
-    cache_layer: [2, num_slots, kv_heads, head_dim] (int8 or dtype)
+    cache_layer: [2, kv_heads, num_slots, head_dim] (int8 or dtype)
     k, v: [T, kv_heads, head_dim] in compute dtype
     slots: i32[T] (padding tokens -> trash-page slots)
     """
+    # .at[0, :, slots]: the scalar 0 and the index array are both advanced
+    # indices separated by a slice, so they broadcast and land FIRST —
+    # the update shape is [T, kv_heads, head_dim], matching k/v directly.
     if spec.quantized:
         qk, sk = quantize_kv(k, spec.quant_group)
         qv, sv = quantize_kv(v, spec.quant_group)
-        cache_layer = cache_layer.at[0, slots].set(qk)
-        cache_layer = cache_layer.at[1, slots].set(qv)
-        scale_layer = scale_layer.at[0, slots].set(sk)
-        scale_layer = scale_layer.at[1, slots].set(sv)
+        cache_layer = cache_layer.at[0, :, slots].set(qk)
+        cache_layer = cache_layer.at[1, :, slots].set(qv)
+        scale_layer = scale_layer.at[0, :, slots].set(sk)
+        scale_layer = scale_layer.at[1, :, slots].set(sv)
     else:
-        cache_layer = cache_layer.at[0, slots].set(k.astype(cache_layer.dtype))
-        cache_layer = cache_layer.at[1, slots].set(v.astype(cache_layer.dtype))
+        dt = cache_layer.dtype
+        cache_layer = cache_layer.at[0, :, slots].set(k.astype(dt))
+        cache_layer = cache_layer.at[1, :, slots].set(v.astype(dt))
     return cache_layer, scale_layer
 
 
@@ -143,11 +151,15 @@ def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     base = page_table[..., None] * spec.page_size + jnp.arange(
         spec.page_size, dtype=page_table.dtype)
     slots = base.reshape(b, p * spec.page_size)
-    k = cache_layer[0, slots]
-    v = cache_layer[1, slots]
+    # [2, KVH, S, hd][0, :, slots[B, KV]]: scalar + array advanced indices
+    # broadcast and land first -> [B, KV, KVH, hd]
+    k = cache_layer[0, :, slots]
+    v = cache_layer[1, :, slots]
     if spec.quantized:
-        k = dequantize_kv(k, scale_layer[0, slots], spec.quant_group, dtype)
-        v = dequantize_kv(v, scale_layer[1, slots], spec.quant_group, dtype)
+        sk = scale_layer[0, :, slots]
+        sv = scale_layer[1, :, slots]
+        k = dequantize_kv(k, sk, spec.quant_group, dtype)
+        v = dequantize_kv(v, sv, spec.quant_group, dtype)
     else:
         k = k.astype(dtype)
         v = v.astype(dtype)

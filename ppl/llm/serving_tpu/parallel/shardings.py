@@ -19,8 +19,8 @@ KV heads shard across TP, ``llm_engine.cc:122-162``):
     w_down      [L, I, D]              P(None, 'tp', None)   row parallel
     norms                              replicated
     lm_head     [D, V]                 P(None, 'tp')   column parallel
-    kv cache    [L, 2, S, KVH, hd]     P(None, None, None, 'tp', None)
-    kv scale    [L, 2, S, KVH, hd/g]   P(None, None, None, 'tp', None)
+    kv cache    [L, 2, KVH, S, hd]     P(None, None, 'tp', None, None)
+    kv scale    [L, 2, KVH, S, hd/g]   P(None, None, 'tp', None, None)
     count map   [slots, V]             replicated
 
 Constraints: ``num_kv_heads % tp == 0`` and ``intermediate_dim % tp == 0``
@@ -93,7 +93,8 @@ def param_partition_specs(cfg: ModelConfig,
 
 
 def cache_partition_spec() -> P:
-    return P(None, None, None, "tp", None)
+    # cache [L, 2, KVH, S, hd]: shard kv heads
+    return P(None, None, "tp", None, None)
 
 
 def validate_tp(cfg: ModelConfig, tp_size: int) -> None:

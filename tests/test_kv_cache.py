@@ -16,12 +16,14 @@ def make_spec(**kw):
 def test_init_shapes():
     spec = make_spec()
     cache, scale = kv_ops.init_cache(spec)
-    assert cache.shape == (2, 2, 9 * 4, 2, 8)
+    # [L, 2, KVH, slots, hd]: head-major so a (head, page) tile is one
+    # contiguous [page_size, hd] block
+    assert cache.shape == (2, 2, 2, 9 * 4, 8)
     assert scale is None
     qspec = make_spec(quant_bit=8, quant_group=8)
     cache, scale = kv_ops.init_cache(qspec)
     assert cache.dtype == jnp.int8
-    assert scale.shape == (2, 2, 9 * 4, 2, 1)
+    assert scale.shape == (2, 2, 2, 9 * 4, 1)
 
 
 def test_token_slots():
@@ -51,6 +53,21 @@ def test_append_and_gather_roundtrip():
     gk, gv = kv_ops.gather_pages(layer0, None, pt, spec, dtype=jnp.float32)
     np.testing.assert_allclose(gk[0, :t], k, rtol=1e-6)
     np.testing.assert_allclose(gv[0, :t], v, rtol=1e-6)
+
+
+def test_page_contiguity():
+    """The layout contract the Pallas kernels rely on: one (head, page)
+    tile is contiguous [page_size, head_dim]."""
+    spec = make_spec()
+    cache, _ = kv_ops.init_cache(spec)
+    k = jnp.arange(4 * 2 * 8, dtype=jnp.float32).reshape(4, 2, 8)
+    pt = jnp.array([[5]], jnp.int32)
+    slots = kv_ops.token_slots(pt, jnp.arange(4), jnp.zeros(4, jnp.int32),
+                               spec.page_size)
+    layer0, _ = kv_ops.append_kv(cache[0], None, k, k, slots, spec)
+    # head h, page 5 lives at layer0[0, h, 20:24, :]
+    for h in range(2):
+        np.testing.assert_allclose(layer0[0, h, 20:24, :], k[:, h, :])
 
 
 def test_quantize_roundtrip_error():

@@ -1,0 +1,249 @@
+"""Pallas paged attention kernels vs XLA reference (interpret mode on CPU;
+the same code compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppl.llm.serving_tpu.ops import attention as attn_ref
+from ppl.llm.serving_tpu.ops import kv_cache as kv_ops
+from ppl.llm.serving_tpu.ops.kv_cache import CacheSpec
+from ppl.llm.serving_tpu.ops.pallas import paged_attention as pk
+
+
+def fill_cache(spec, rows, seed=0):
+    """rows: list of (pages, ctx_len). Returns (cache_layer, scale_layer,
+    page_table, context_len) with random KV content."""
+    cache, scale = kv_ops.init_cache(spec)
+    cache_layer = cache[0]
+    scale_layer = scale[0] if scale is not None else None
+    kvp = max(len(p) for p, _ in rows)
+    pt = np.full((len(rows), kvp), spec.trash_page, np.int32)
+    ctx = np.zeros(len(rows), np.int32)
+    key = jax.random.PRNGKey(seed)
+    for r, (pages, n) in enumerate(rows):
+        pt[r, :len(pages)] = pages
+        ctx[r] = n
+        if n == 0:
+            continue
+        key, k1, k2 = jax.random.split(key, 3)
+        k = jax.random.normal(k1, (n, spec.num_kv_heads, spec.head_dim))
+        v = jax.random.normal(k2, (n, spec.num_kv_heads, spec.head_dim))
+        slots = kv_ops.token_slots(
+            jnp.asarray(pt[r:r + 1]), jnp.arange(n),
+            jnp.zeros(n, jnp.int32), spec.page_size)
+        cache_layer, scale_layer = kv_ops.append_kv(
+            cache_layer, scale_layer, k, v, slots, spec)
+    return cache_layer, scale_layer, jnp.asarray(pt), jnp.asarray(ctx)
+
+
+def run_both(spec, rows, num_q_heads, seed=1):
+    cache_layer, scale_layer, pt, ctx = fill_cache(spec, rows)
+    q = jax.random.normal(
+        jax.random.PRNGKey(seed),
+        (len(rows), num_q_heads, spec.head_dim)).astype(
+            jnp.float32 if spec.dtype == jnp.float32 else jnp.bfloat16)
+    ref = attn_ref.decode_attention_ref(q, cache_layer, scale_layer, pt,
+                                        ctx, spec)
+    out = pk.paged_decode_attention(q, cache_layer, scale_layer, pt, ctx,
+                                    spec, interpret=True)
+    return np.asarray(ref), np.asarray(out)
+
+
+SPEC = CacheSpec(num_layers=1, num_pages=16, page_size=16, num_kv_heads=2,
+                 head_dim=32, dtype=jnp.float32)
+QSPEC = CacheSpec(num_layers=1, num_pages=16, page_size=16, num_kv_heads=2,
+                  head_dim=32, quant_bit=8, quant_group=8,
+                  dtype=jnp.float32)
+
+
+def test_decode_matches_ref_single_row():
+    ref, out = run_both(SPEC, [([3, 5], 20)], num_q_heads=4)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_decode_matches_ref_batch_varied_lens():
+    rows = [([0, 1, 2], 40), ([4], 3), ([6, 7], 17), ([8], 16)]
+    ref, out = run_both(SPEC, rows, num_q_heads=4)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_decode_mha_g1():
+    """MHA (G=1) — llama2-7B shape class."""
+    spec = CacheSpec(num_layers=1, num_pages=8, page_size=16,
+                     num_kv_heads=4, head_dim=32, dtype=jnp.float32)
+    cache_layer, scale_layer, pt, ctx = fill_cache(
+        spec, [([0, 1], 30), ([2], 5)])
+    q = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 32))
+    ref = attn_ref.decode_attention_ref(q, cache_layer, None, pt, ctx, spec)
+    out = pk.paged_decode_attention(q, cache_layer, None, pt, ctx, spec,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_padding_row_zero_ctx():
+    rows = [([0], 10), ([SPEC.trash_page], 0)]
+    ref, out = run_both(SPEC, rows, num_q_heads=4)
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_allclose(out[0], ref[0], atol=2e-5, rtol=2e-5)
+
+
+def test_decode_quantized_kv():
+    ref, out = run_both(QSPEC, [([3, 5], 25), ([7], 9)], num_q_heads=4)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-2)
+
+
+def test_decode_long_context_many_pages():
+    spec = CacheSpec(num_layers=1, num_pages=40, page_size=16,
+                     num_kv_heads=2, head_dim=32, dtype=jnp.float32)
+    pages = list(range(1, 33))
+    ref_out = run_both(spec, [(pages, 16 * 32)], num_q_heads=4)
+    np.testing.assert_allclose(ref_out[1], ref_out[0], atol=2e-5, rtol=2e-5)
+
+
+def fill_cache_with_kv(spec, rows, seed=0):
+    """Like fill_cache but also returns the raw K/V per row for q building."""
+    cache, scale = kv_ops.init_cache(spec)
+    cache_layer = cache[0]
+    scale_layer = scale[0] if scale is not None else None
+    kvp = max(len(p) for p, _ in rows)
+    pt = np.full((len(rows), kvp), spec.trash_page, np.int32)
+    key = jax.random.PRNGKey(seed)
+    for r, (pages, n) in enumerate(rows):
+        pt[r, :len(pages)] = pages
+        if n == 0:
+            continue
+        key, k1, k2 = jax.random.split(key, 3)
+        k = jax.random.normal(k1, (n, spec.num_kv_heads, spec.head_dim))
+        v = jax.random.normal(k2, (n, spec.num_kv_heads, spec.head_dim))
+        slots = kv_ops.token_slots(
+            jnp.asarray(pt[r:r + 1]), jnp.arange(n),
+            jnp.zeros(n, jnp.int32), spec.page_size)
+        cache_layer, scale_layer = kv_ops.append_kv(
+            cache_layer, scale_layer, k, v, slots, spec)
+    return cache_layer, scale_layer, jnp.asarray(pt)
+
+
+def run_prefill_both(spec, rows, starts, new_lens, qp, num_q_heads,
+                     q_block=16, seed=3):
+    """rows give total ctx per row (start + new)."""
+    cache_layer, scale_layer, pt = fill_cache_with_kv(spec, rows)
+    bp = len(rows)
+    q = jax.random.normal(jax.random.PRNGKey(seed),
+                          (bp, qp, num_q_heads, spec.head_dim))
+    starts = jnp.asarray(starts, jnp.int32)
+    new_lens = jnp.asarray(new_lens, jnp.int32)
+    ref = attn_ref.prefill_attention_ref(q, cache_layer, scale_layer, pt,
+                                         starts, new_lens, spec)
+    out = pk.paged_prefill_attention(q, cache_layer, scale_layer, pt,
+                                     starts, new_lens, spec,
+                                     q_block=q_block, interpret=True)
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    # compare only valid q rows (padding rows are unspecified in the ref)
+    for r in range(bp):
+        n = int(new_lens[r])
+        np.testing.assert_allclose(out[r, :n], ref[r, :n], atol=3e-5,
+                                   rtol=3e-5, err_msg=f"row {r}")
+    return ref, out
+
+
+def test_prefill_matches_ref_basic():
+    run_prefill_both(SPEC, [([0, 1, 2], 40)], starts=[0], new_lens=[40],
+                     qp=48, num_q_heads=4)
+
+
+def test_prefill_prefix_hit_start():
+    # 32 cached + 16 new = ctx 48
+    run_prefill_both(SPEC, [([0, 1, 2], 48)], starts=[32], new_lens=[16],
+                     qp=16, num_q_heads=4)
+
+
+def test_prefill_batch_mixed_lens():
+    run_prefill_both(
+        SPEC, [([0, 1], 20), ([4, 5, 6], 33), ([8], 7)],
+        starts=[0, 0, 0], new_lens=[20, 33, 7], qp=48, num_q_heads=4)
+
+
+def test_prefill_quantized_kv():
+    spec = QSPEC
+    cache_layer, scale_layer, pt = fill_cache_with_kv(
+        spec, [([0, 1], 30)])
+    q = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 4, spec.head_dim))
+    starts = jnp.array([0], jnp.int32)
+    new_lens = jnp.array([30], jnp.int32)
+    ref = attn_ref.prefill_attention_ref(q, cache_layer, scale_layer, pt,
+                                         starts, new_lens, spec)
+    out = pk.paged_prefill_attention(q, cache_layer, scale_layer, pt,
+                                     starts, new_lens, spec, q_block=16,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[0, :30],
+                               np.asarray(ref)[0, :30], atol=1e-3,
+                               rtol=1e-2)
+
+
+def test_prefill_gqa_g1_mha():
+    spec = CacheSpec(num_layers=1, num_pages=8, page_size=16,
+                     num_kv_heads=4, head_dim=32, dtype=jnp.float32)
+    run_prefill_both(spec, [([0, 1], 25)], starts=[0], new_lens=[25],
+                     qp=32, num_q_heads=4)
+
+
+def test_full_model_step_with_pallas_interpret():
+    """The fused step with Pallas kernels (interpret) must match the XLA
+    attention path bit-for-bit at the logits level."""
+    from ppl.llm.serving_tpu.config import ModelConfig
+    from ppl.llm.serving_tpu.models import llama
+
+    cfg = ModelConfig(hidden_dim=64, intermediate_dim=128, num_layers=2,
+                      num_heads=4, num_kv_heads=2, vocab_size=256,
+                      cache_mode=1, page_size=16, dtype="float32")
+    spec = CacheSpec(num_layers=2, num_pages=16, page_size=16,
+                     num_kv_heads=2, head_dim=16, dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    from ppl.llm.serving_tpu.ops import sampling as S
+
+    def greedy(b):
+        return S.SamplingParams(
+            temperature=jnp.ones(b), top_k=jnp.ones(b, jnp.int32),
+            top_p=jnp.zeros(b), do_sample=jnp.zeros(b, bool),
+            repetition_penalty=jnp.ones(b), presence_penalty=jnp.zeros(b),
+            frequency_penalty=jnp.zeros(b))
+
+    seq = (np.arange(20) * 3 + 5) % 250
+    pt = np.full((2, 4), spec.trash_page, np.int32)
+    pt[0, 0] = 3          # decode row: ctx 5 on page 3
+    pt[1, :2] = [0, 1]    # prefill row
+    padded = np.zeros((1, 32), np.int32)
+    padded[0, :20] = seq
+    inp = llama.StepInput(
+        decode_tokens=jnp.array([9], jnp.int32),
+        decode_pos=jnp.array([4], jnp.int32),
+        prefill_tokens=jnp.asarray(padded),
+        prefill_start=jnp.zeros(1, jnp.int32),
+        prefill_len=jnp.array([20], jnp.int32),
+        page_table=jnp.asarray(pt),
+        context_len=jnp.array([5, 20], jnp.int32),
+        batch_slots=jnp.zeros(2, jnp.int32),
+        sampling=greedy(2),
+    )
+    outs = {}
+    for impl in ("xla", "pallas_interpret"):
+        cache, _ = kv_ops.init_cache(spec)
+        # pre-fill decode row's history (positions 0..3 on page 3)
+        hist = jax.random.normal(jax.random.PRNGKey(7), (4, 2, 16))
+        for layer in range(2):
+            slots = kv_ops.token_slots(jnp.asarray(pt[:1]), jnp.arange(4),
+                                       jnp.zeros(4, jnp.int32), 16)
+            lc, _ = kv_ops.append_kv(cache[layer], None, hist, hist, slots,
+                                     spec)
+            cache = cache.at[layer].set(lc)
+        step = llama.make_step_fn(cfg, spec, return_logits=True,
+                                  attn_impl=impl)
+        out = step(params, cache, jnp.zeros((2, 1), jnp.float32),
+                   jnp.zeros((1, 1), jnp.int32), inp, jax.random.PRNGKey(0))
+        outs[impl] = np.asarray(out.logits)
+    np.testing.assert_allclose(outs["pallas_interpret"], outs["xla"],
+                               atol=1e-4, rtol=1e-4)

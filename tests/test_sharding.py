@@ -80,9 +80,9 @@ def test_tp_cache_sharded_and_updated():
     _, _, out = run_step(mesh=mesh)
     # cache stays sharded on the kv-head axis after the step
     spec_set = out.kv_cache.sharding.spec
-    assert spec_set[3] == "tp"
+    assert spec_set[2] == "tp"
     # and the prefill actually wrote into pages 0/1
-    assert np.abs(np.asarray(out.kv_cache[0, 0, :20])).sum() > 0
+    assert np.abs(np.asarray(out.kv_cache[0, 0, :, :20])).sum() > 0
 
 
 def test_validate_tp_rejects_indivisible():
