@@ -70,21 +70,23 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def make_reqs(base, n):
+    def make_reqs(base, n, out_len=gen_len):
         return [Request(id=base + i,
                         token_ids=rng.randint(
                             3, model_cfg.vocab_size - 1,
                             size=prompt_len).tolist(),
-                        generation_length=gen_len, top_k=1,
+                        generation_length=out_len, top_k=1,
                         early_stopping=False)
                 for i in range(n)]
 
-    # warmup: trigger all bucket compiles
-    warm = make_reqs(10_000, 2)
+    # warmup with the SAME request count/shapes as the measured run so
+    # every (Bd, Bp, Qp, KVP) bucket is compiled before measurement
+    warm = make_reqs(10_000, batch, out_len=4)
     conn.set_wanted(len(warm))
     for r in warm:
         gen.process(r)
     conn.wait(timeout=1800)
+    time.sleep(0.5)
 
     # measured run
     reqs = make_reqs(0, batch)

@@ -225,6 +225,11 @@ class ResourceConfig:
     # decoding-attention engine knobs, resource_manager.cc:74-112).
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
 
+    # Sampling candidate-set cap: top-k/top-p sample from the top-cap
+    # logits via lax.top_k instead of a full-vocab sort (exact for
+    # top_k <= cap; standard truncation for top_p). 0 = exact full sort.
+    sampling_top_k_cap: int = 256
+
     def validate(self) -> None:
         if self.tensor_parallel_size < 1 or (
             self.tensor_parallel_size & (self.tensor_parallel_size - 1)

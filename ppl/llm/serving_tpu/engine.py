@@ -126,10 +126,12 @@ class LLMEngine:
             attn_impl = ("pallas" if jax.default_backend() not in ("cpu",)
                          else "xla")
         self.attn_impl = attn_impl
+        self.top_k_cap = resource_cfg.sampling_top_k_cap
         step = llama.make_step_fn(model_cfg, spec,
                                   enable_penalty=enable_penalty,
                                   quant_method=resource_cfg.quant_method,
-                                  attn_impl=attn_impl)
+                                  attn_impl=attn_impl,
+                                  top_k_cap=self.top_k_cap)
         # donate device state so cache updates are in-place
         self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
         self._clear_slots = jax.jit(
@@ -206,7 +208,10 @@ class LLMEngine:
             if t.slot_index >= 0:
                 batch_slots[row] = t.slot_index
             temperature[row] = t.temperature
-            top_k[row] = t.top_k
+            # requested k beyond the candidate cap is clamped (the cap
+            # bounds the candidate set the kernel sees)
+            top_k[row] = (min(t.top_k, self.top_k_cap)
+                          if self.top_k_cap and t.top_k > 0 else t.top_k)
             top_p[row] = t.top_p
             do_sample[row] = t.do_sample
             rep_pen[row] = t.repetition_penalty

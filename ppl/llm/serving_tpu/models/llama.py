@@ -153,7 +153,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  enable_penalty: bool = False,
                  return_logits: bool = False,
                  quant_method: str = "none",
-                 attn_impl: str = "xla"):
+                 attn_impl: str = "xla",
+                 top_k_cap: int = 0):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
@@ -293,7 +294,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 logits, count_map, inp.batch_slots, inp.sampling)
 
         tokens, logprobs = sampling_ops.sample_top_k_top_p(
-            logits, inp.sampling, rng)
+            logits, inp.sampling, rng, top_k_cap=top_k_cap)
         return StepOutput(tokens, logprobs, kv_cache, kv_scale, count_map,
                           logits if return_logits else None)
 

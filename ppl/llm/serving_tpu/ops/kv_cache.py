@@ -44,6 +44,15 @@ class CacheSpec:
     quant_bit: int = 0  # 0 (= dtype below) or 8 (int8 + per-group scales)
     quant_group: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # Physical minor-dim of the cache. TPU HBM layouts tile the minor dim
+    # to 128 lanes regardless, so padding head_dim<128 up to 128 costs no
+    # extra memory and is REQUIRED for the Pallas kernels' page DMAs
+    # (Mosaic rejects sub-128 minor-dim HBM slices). None = head_dim.
+    storage_head_dim: Optional[int] = None
+
+    @property
+    def shd(self) -> int:
+        return self.storage_head_dim or self.head_dim
 
     @property
     def num_slots(self) -> int:
@@ -57,19 +66,29 @@ class CacheSpec:
     def quantized(self) -> bool:
         return self.quant_bit == 8
 
+    @property
+    def scale_groups(self) -> int:
+        return max(self.head_dim // self.quant_group, 1)
+
 
 def init_cache(spec: CacheSpec):
-    """Allocate the (cache, scale) pair; scale is None when unquantized."""
+    """Allocate the (cache, scale) pair; scale is None when unquantized.
+
+    Scales use a TRANSPOSED layout [L, 2, KVH, groups, slots]: the slot
+    axis is minor so the kernels' per-page scale DMA slices a 128-aligned
+    minor-dim range (a [.., slots, groups] layout has a sub-128 minor dim,
+    which Mosaic DMA rejects).
+    """
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
     cache = jnp.zeros(
-        (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots, spec.head_dim),
+        (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots, spec.shd),
         dtype=kv_dtype,
     )
     scale = None
     if spec.quantized:
         scale = jnp.zeros(
-            (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots,
-             spec.head_dim // spec.quant_group),
+            (spec.num_layers, 2, spec.num_kv_heads, spec.scale_groups,
+             spec.num_slots),
             dtype=jnp.bfloat16,
         )
     return cache, scale
@@ -125,17 +144,28 @@ def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     # .at[0, :, slots]: the scalar 0 and the index array are both advanced
     # indices separated by a slice, so they broadcast and land FIRST —
     # the update shape is [T, kv_heads, head_dim], matching k/v directly.
+    if spec.shd != spec.head_dim:
+        pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
+        k_store = jnp.pad(k, pad)
+        v_store = jnp.pad(v, pad)
+    else:
+        k_store, v_store = k, v
     if spec.quantized:
         qk, sk = quantize_kv(k, spec.quant_group)
         qv, sv = quantize_kv(v, spec.quant_group)
+        if spec.shd != spec.head_dim:
+            qk = jnp.pad(qk, pad)
+            qv = jnp.pad(qv, pad)
         cache_layer = cache_layer.at[0, :, slots].set(qk)
         cache_layer = cache_layer.at[1, :, slots].set(qv)
-        scale_layer = scale_layer.at[0, :, slots].set(sk)
-        scale_layer = scale_layer.at[1, :, slots].set(sv)
+        # transposed scale layout: scatter on the minor slot axis;
+        # update shape is [T, kv_heads, groups]
+        scale_layer = scale_layer.at[0, :, :, slots].set(sk)
+        scale_layer = scale_layer.at[1, :, :, slots].set(sv)
     else:
         dt = cache_layer.dtype
-        cache_layer = cache_layer.at[0, :, slots].set(k.astype(dt))
-        cache_layer = cache_layer.at[1, :, slots].set(v.astype(dt))
+        cache_layer = cache_layer.at[0, :, slots].set(k_store.astype(dt))
+        cache_layer = cache_layer.at[1, :, slots].set(v_store.astype(dt))
     return cache_layer, scale_layer
 
 
@@ -151,13 +181,15 @@ def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     base = page_table[..., None] * spec.page_size + jnp.arange(
         spec.page_size, dtype=page_table.dtype)
     slots = base.reshape(b, p * spec.page_size)
-    # [2, KVH, S, hd][0, :, slots[B, KV]]: scalar + array advanced indices
-    # broadcast and land first -> [B, KV, KVH, hd]
-    k = cache_layer[0, :, slots]
-    v = cache_layer[1, :, slots]
+    # [2, KVH, S, shd][0, :, slots[B, KV]]: scalar + array advanced indices
+    # broadcast and land first -> [B, KV, KVH, shd]; slice off storage pad
+    k = cache_layer[0, :, slots][..., :spec.head_dim]
+    v = cache_layer[1, :, slots][..., :spec.head_dim]
     if spec.quantized:
-        sk = scale_layer[0, :, slots]
-        sv = scale_layer[1, :, slots]
+        # transposed scale layout [2, KVH, groups, S]: advanced (0, slots)
+        # first -> [B, KV, KVH, groups]
+        sk = scale_layer[0, :, :, slots]
+        sv = scale_layer[1, :, :, slots]
         k = dequantize_kv(k, sk, spec.quant_group, dtype)
         v = dequantize_kv(v, sv, spec.quant_group, dtype)
     else:

@@ -17,7 +17,18 @@ Kernel shape:
 - GQA: scores computed batched over KV heads: [KVH, G, hd] x
   [KVH, ps, hd] -> [KVH, G, ps] on the MXU,
 - int8 KV (group-8 scales) dequantized in VMEM right after the DMA —
-  int8 pages also HALVE the DMA bytes, which is the real win.
+  int8 pages also HALVE the DMA bytes, which is the real win. Scales
+  live in a transposed [KVH, groups, slots] layout (slot-minor) because
+  Mosaic DMA requires 128-aligned minor-dim slices; the per-element
+  expansion is a one-hot matmul (s @ E), since Mosaic cannot shape-cast
+  the 128-lane axis into (groups, group).
+
+Hardware constraints honored here (probed on v5e):
+- HBM DMA slices need a >=128, 128-aligned minor dim -> the cache stores
+  head_dim padded up to 128 (``CacheSpec.storage_head_dim``; physically
+  free, XLA tiles HBM minor dims to 128 anyway) and wrappers pad q /
+  slice outputs. Zero-padded lanes contribute zeros to every dot product,
+  so no extra masking is needed.
 
 The page loop runs to the page-table width with ``@pl.when`` masking, so
 KV length is data, not shape — no recompiles as context grows
@@ -40,39 +51,31 @@ _NEG_INF = -1e30
 
 
 def _dequant(vals, scales, group: int, dtype):
-    """int8 [KVH, ps, hd] x bf16 scales [KVH, ps, hd//group] -> dtype.
+    """int8 vals [KVH, ps, shd] x bf16 scales [KVH, groups, ps] -> dtype.
 
-    The per-group scales expand to per-element via a one-hot expansion
-    MATMUL (s @ E, E[i, j] = [j // group == i]) — Mosaic cannot shape-cast
-    the 128-lane axis into (groups, group), but a [ng, hd] matmul on the
-    MXU is free next to the DMA."""
-    kvh, ps, hd = vals.shape
-    ng = hd // group
-    expand = (jax.lax.broadcasted_iota(jnp.int32, (ng, hd), 1) // group
-              == jax.lax.broadcasted_iota(jnp.int32, (ng, hd), 0)
+    Expansion matmul: E[i, j] = [j // group == i]; padded storage lanes
+    (j >= groups * group) match no group and dequantize to 0.
+    """
+    kvh, ps, shd = vals.shape
+    ng = scales.shape[1]
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 1) // group
+              == jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 0)
               ).astype(jnp.float32)
     s_full = jax.lax.dot_general(
         scales.astype(jnp.float32), expand,
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [KVH, ps, hd]
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [KVH, ps, shd]
     return (vals.astype(jnp.float32) * s_full).astype(dtype)
 
 
-def _decode_kernel(spec: CacheSpec, num_q_heads: int,
-                   pt_ref, ctx_ref,                  # scalar prefetch
-                   q_ref, cache_ref, scale_ref,      # inputs
-                   o_ref,                            # output
-                   k_buf, v_buf, ks_buf, vs_buf, sem):
-    b = pl.program_id(0)
-    kvh, hd = spec.num_kv_heads, spec.head_dim
-    g = num_q_heads // kvh
+def _make_dma_helpers(spec: CacheSpec, cache_ref, scale_ref, pt_ref,
+                      k_buf, v_buf, ks_buf, vs_buf, sem, row_ref):
+    """start/wait DMA closures for one (k, v [, scales]) page slab."""
     ps = spec.page_size
-    max_pages = pt_ref.shape[1]
-    ctx = ctx_ref[b]
     quant = spec.quantized
 
     def start_dma(slot, p_idx):
-        page = pt_ref[b, p_idx]
+        page = pt_ref[row_ref[0], p_idx]
         base = page * ps
         pltpu.make_async_copy(
             cache_ref.at[0, :, pl.ds(base, ps), :], k_buf.at[slot],
@@ -82,10 +85,10 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int,
             sem.at[slot, 1]).start()
         if quant:
             pltpu.make_async_copy(
-                scale_ref.at[0, :, pl.ds(base, ps), :], ks_buf.at[slot],
+                scale_ref.at[0, :, :, pl.ds(base, ps)], ks_buf.at[slot],
                 sem.at[slot, 2]).start()
             pltpu.make_async_copy(
-                scale_ref.at[1, :, pl.ds(base, ps), :], vs_buf.at[slot],
+                scale_ref.at[1, :, :, pl.ds(base, ps)], vs_buf.at[slot],
                 sem.at[slot, 3]).start()
 
     def wait_dma(slot):
@@ -97,16 +100,57 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int,
             sem.at[slot, 1]).wait()
         if quant:
             pltpu.make_async_copy(
-                scale_ref.at[0, :, pl.ds(0, ps), :], ks_buf.at[slot],
+                scale_ref.at[0, :, :, pl.ds(0, ps)], ks_buf.at[slot],
                 sem.at[slot, 2]).wait()
             pltpu.make_async_copy(
-                scale_ref.at[1, :, pl.ds(0, ps), :], vs_buf.at[slot],
+                scale_ref.at[1, :, :, pl.ds(0, ps)], vs_buf.at[slot],
                 sem.at[slot, 3]).wait()
+
+    def load_kv(slot):
+        if quant:
+            k = _dequant(k_buf[slot], ks_buf[slot], spec.quant_group,
+                         jnp.float32)
+            v = _dequant(v_buf[slot], vs_buf[slot], spec.quant_group,
+                         jnp.float32)
+        else:
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+        return k, v
+
+    return start_dma, wait_dma, load_kv
+
+
+class _Row:
+    """Trivial holder so DMA helpers can read the current batch row."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, _):
+        return self.v
+
+
+def _decode_kernel(spec: CacheSpec, num_q_heads: int,
+                   pt_ref, ctx_ref,                  # scalar prefetch
+                   q_ref, cache_ref, scale_ref,      # inputs
+                   o_ref,                            # output
+                   k_buf, v_buf, ks_buf, vs_buf, sem):
+    b = pl.program_id(0)
+    kvh, shd = spec.num_kv_heads, spec.shd
+    g = num_q_heads // kvh
+    ps = spec.page_size
+    ctx = ctx_ref[b]
+
+    start_dma, wait_dma, load_kv = _make_dma_helpers(
+        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, ks_buf, vs_buf,
+        sem, _Row(b))
 
     @pl.when(ctx > 0)
     def _():
-        q = q_ref[0].astype(jnp.float32).reshape(kvh, g, hd)
-        q = q * (hd ** -0.5)
+        q = q_ref[0].astype(jnp.float32).reshape(kvh, g, shd)
+        q = q * (spec.head_dim ** -0.5)
 
         start_dma(0, 0)
 
@@ -119,16 +163,9 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int,
                 start_dma((p_idx + 1) % 2, p_idx + 1)
 
             wait_dma(slot)
-            if quant:
-                k = _dequant(k_buf[slot], ks_buf[slot], spec.quant_group,
-                             jnp.float32)
-                v = _dequant(v_buf[slot], vs_buf[slot], spec.quant_group,
-                             jnp.float32)
-            else:
-                k = k_buf[slot].astype(jnp.float32)
-                v = v_buf[slot].astype(jnp.float32)
+            k, v = load_kv(slot)
 
-            # scores [KVH, G, ps] = q [KVH, G, hd] @ k^T [KVH, hd, ps]
+            # scores [KVH, G, ps] = q [KVH, G, shd] @ k^T [KVH, shd, ps]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
@@ -142,86 +179,55 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int,
             p_exp = jnp.exp(s - m_new[..., None])           # [KVH, G, ps]
             p_exp = jnp.where(valid, p_exp, 0.0)
             l_new = l * alpha + jnp.sum(p_exp, axis=-1)
-            # pv [KVH, G, hd]
             pv = jax.lax.dot_general(
                 p_exp, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            acc_new = acc * alpha[..., None] + pv
-            return acc_new, m_new, l_new
+                preferred_element_type=jnp.float32)         # [KVH, G, shd]
+            return acc * alpha[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((kvh, g, hd), jnp.float32)
+        acc0 = jnp.zeros((kvh, g, shd), jnp.float32)
         m0 = jnp.full((kvh, g), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((kvh, g), jnp.float32)
         n_pages = pl.cdiv(ctx, ps)
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
         out = acc / jnp.maximum(l, 1e-30)[..., None]
-        o_ref[0] = out.reshape(num_q_heads, hd).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(num_q_heads, shd).astype(o_ref.dtype)
 
     @pl.when(ctx <= 0)
     def _():
-        o_ref[0] = jnp.zeros((num_q_heads, hd), o_ref.dtype)
+        o_ref[0] = jnp.zeros((num_q_heads, shd), o_ref.dtype)
 
 
-def _prefill_kernel_impl(spec: CacheSpec, num_q_heads: int, q_blk: int,
-                         pt_ref, start_ref, newlen_ref,   # scalar prefetch
-                         q_ref, cache_ref, scale_ref,     # inputs
-                         o_ref,                           # output
-                         k_buf, v_buf, ks_buf, vs_buf, sem):
+def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
+                    pt_ref, start_ref, newlen_ref,    # scalar prefetch
+                    q_ref, cache_ref, scale_ref,      # inputs
+                    o_ref,                            # output
+                    k_buf, v_buf, ks_buf, vs_buf, sem):
     b = pl.program_id(0)
     qb = pl.program_id(1)
-    kvh, hd = spec.num_kv_heads, spec.head_dim
+    kvh, shd = spec.num_kv_heads, spec.shd
     g = num_q_heads // kvh
     ps = spec.page_size
     start = start_ref[b]
     new_len = newlen_ref[b]
     ctx = start + new_len
-    quant = spec.quantized
 
     q0 = start + qb * q_blk                      # abs pos of block row 0
     kv_hi = jnp.minimum(ctx, q0 + q_blk)         # causal upper bound
     n_pages = pl.cdiv(kv_hi, ps)
     block_active = (qb * q_blk) < new_len
 
-    def start_dma(slot, p_idx):
-        page = pt_ref[b, p_idx]
-        base = page * ps
-        pltpu.make_async_copy(
-            cache_ref.at[0, :, pl.ds(base, ps), :], k_buf.at[slot],
-            sem.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            cache_ref.at[1, :, pl.ds(base, ps), :], v_buf.at[slot],
-            sem.at[slot, 1]).start()
-        if quant:
-            pltpu.make_async_copy(
-                scale_ref.at[0, :, pl.ds(base, ps), :], ks_buf.at[slot],
-                sem.at[slot, 2]).start()
-            pltpu.make_async_copy(
-                scale_ref.at[1, :, pl.ds(base, ps), :], vs_buf.at[slot],
-                sem.at[slot, 3]).start()
-
-    def wait_dma(slot):
-        pltpu.make_async_copy(
-            cache_ref.at[0, :, pl.ds(0, ps), :], k_buf.at[slot],
-            sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            cache_ref.at[1, :, pl.ds(0, ps), :], v_buf.at[slot],
-            sem.at[slot, 1]).wait()
-        if quant:
-            pltpu.make_async_copy(
-                scale_ref.at[0, :, pl.ds(0, ps), :], ks_buf.at[slot],
-                sem.at[slot, 2]).wait()
-            pltpu.make_async_copy(
-                scale_ref.at[1, :, pl.ds(0, ps), :], vs_buf.at[slot],
-                sem.at[slot, 3]).wait()
+    start_dma, wait_dma, load_kv = _make_dma_helpers(
+        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, ks_buf, vs_buf,
+        sem, _Row(b))
 
     @pl.when(block_active)
     def _():
-        # q block [q_blk, Hq, hd] -> [KVH, G*q_blk, hd] (head-major)
+        # q block [q_blk, Hq, shd] -> [KVH, G*q_blk, shd] (head-major)
         q = q_ref[0].astype(jnp.float32)
-        q = q.reshape(q_blk, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
-            kvh, g * q_blk, hd)
-        q = q * (hd ** -0.5)
+        q = q.reshape(q_blk, kvh, g, shd).transpose(1, 2, 0, 3).reshape(
+            kvh, g * q_blk, shd)
+        q = q * (spec.head_dim ** -0.5)
         # row j of the [G*q_blk] flattened block is (g=j//q_blk,
         # i=j%q_blk); its absolute position is q0 + i
         i_in_blk = jax.lax.broadcasted_iota(
@@ -240,14 +246,7 @@ def _prefill_kernel_impl(spec: CacheSpec, num_q_heads: int, q_blk: int,
                 start_dma((p_idx + 1) % 2, p_idx + 1)
 
             wait_dma(slot)
-            if quant:
-                k = _dequant(k_buf[slot], ks_buf[slot], spec.quant_group,
-                             jnp.float32)
-                v = _dequant(v_buf[slot], vs_buf[slot], spec.quant_group,
-                             jnp.float32)
-            else:
-                k = k_buf[slot].astype(jnp.float32)
-                v = v_buf[slot].astype(jnp.float32)
+            k, v = load_kv(slot)
 
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
@@ -267,24 +266,91 @@ def _prefill_kernel_impl(spec: CacheSpec, num_q_heads: int, q_blk: int,
                 preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((kvh, g * q_blk, hd), jnp.float32)
+        acc0 = jnp.zeros((kvh, g * q_blk, shd), jnp.float32)
         m0 = jnp.full((kvh, g * q_blk), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((kvh, g * q_blk), jnp.float32)
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
         out = acc / jnp.maximum(l, 1e-30)[..., None]
-        out = out.reshape(kvh, g, q_blk, hd).transpose(2, 0, 1, 3).reshape(
-            q_blk, num_q_heads, hd)
+        out = out.reshape(kvh, g, q_blk, shd).transpose(2, 0, 1, 3).reshape(
+            q_blk, num_q_heads, shd)
         o_ref[0] = out.astype(o_ref.dtype)
 
     @pl.when(jnp.logical_not(block_active))
     def _():
-        o_ref[0] = jnp.zeros((q_blk, num_q_heads, hd), o_ref.dtype)
+        o_ref[0] = jnp.zeros((q_blk, num_q_heads, shd), o_ref.dtype)
+
+
+def _pad_q(q: jax.Array, spec: CacheSpec) -> jax.Array:
+    if spec.shd == spec.head_dim:
+        return q
+    pad = [(0, 0)] * (q.ndim - 1) + [(0, spec.shd - spec.head_dim)]
+    return jnp.pad(q, pad)
+
+
+def _scale_placeholder(spec: CacheSpec):
+    return jnp.zeros((2, spec.num_kv_heads, spec.scale_groups,
+                      spec.page_size), jnp.bfloat16)
+
+
+def _scratch_shapes(spec: CacheSpec, kv_dtype):
+    kvh, ps = spec.num_kv_heads, spec.page_size
+    return [
+        pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
+        pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
+        pltpu.VMEM((2, kvh, spec.scale_groups, ps), jnp.bfloat16),
+        pltpu.VMEM((2, kvh, spec.scale_groups, ps), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+
+
+def paged_decode_attention(
+    q: jax.Array,                 # [B, Hq, hd]
+    cache_layer: jax.Array,       # [2, KVH, S, shd] (int8 or float)
+    scale_layer: Optional[jax.Array],
+    page_table: jax.Array,        # i32[B, P]
+    context_len: jax.Array,       # i32[B]
+    spec: CacheSpec,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention over the paged cache; one new token per row."""
+    b, num_q_heads, hd = q.shape
+    shd = spec.shd
+    if scale_layer is None or scale_layer.ndim != 4:
+        scale_layer = _scale_placeholder(spec)
+    q = _pad_q(q, spec)
+
+    kernel = functools.partial(_decode_kernel, spec, num_q_heads)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, num_q_heads, shd), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, num_q_heads, shd),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=_scratch_shapes(spec, cache_layer.dtype),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, num_q_heads, shd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(page_table, context_len, q, cache_layer, scale_layer)
+    return out[..., :hd]
 
 
 def paged_prefill_attention(
     q: jax.Array,                 # [Bp, Qp, Hq, hd]
-    cache_layer: jax.Array,       # [2, KVH, S, hd]
+    cache_layer: jax.Array,       # [2, KVH, S, shd]
     scale_layer: Optional[jax.Array],
     page_table: jax.Array,        # i32[Bp, P]
     start: jax.Array,             # i32[Bp]
@@ -298,94 +364,36 @@ def paged_prefill_attention(
     start > 0 (prefix-cache-hit continuation). This step's K/V must
     already be in the cache."""
     bp, qp, num_q_heads, hd = q.shape
-    kvh, ps = spec.num_kv_heads, spec.page_size
+    shd = spec.shd
     q_blk = min(q_block, qp)
     assert qp % q_blk == 0, (qp, q_blk)
     if scale_layer is None or scale_layer.ndim != 4:
-        scale_layer = jnp.zeros((2, kvh, ps, max(hd // spec.quant_group, 1)),
-                                jnp.bfloat16)
+        scale_layer = _scale_placeholder(spec)
+    q = _pad_q(q, spec)
 
-    kernel = functools.partial(_prefill_kernel_impl, spec, num_q_heads,
-                               q_blk)
-    sgroup = max(hd // spec.quant_group, 1)
+    kernel = functools.partial(_prefill_kernel, spec, num_q_heads, q_blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bp, qp // q_blk),
         in_specs=[
-            pl.BlockSpec((1, q_blk, num_q_heads, hd),
+            pl.BlockSpec((1, q_blk, num_q_heads, shd),
                          lambda b, qb, *_: (b, qb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, q_blk, num_q_heads, hd),
+        out_specs=pl.BlockSpec((1, q_blk, num_q_heads, shd),
                                lambda b, qb, *_: (b, qb, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, kvh, ps, hd), cache_layer.dtype),
-            pltpu.VMEM((2, kvh, ps, hd), cache_layer.dtype),
-            pltpu.VMEM((2, kvh, ps, sgroup), jnp.bfloat16),
-            pltpu.VMEM((2, kvh, ps, sgroup), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        scratch_shapes=_scratch_shapes(spec, cache_layer.dtype),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bp, qp, num_q_heads, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, qp, num_q_heads, shd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(page_table, start, new_len, q, cache_layer, scale_layer)
-
-
-def paged_decode_attention(
-    q: jax.Array,                 # [B, Hq, hd]
-    cache_layer: jax.Array,       # [2, KVH, S, hd] (int8 or float)
-    scale_layer: Optional[jax.Array],
-    page_table: jax.Array,        # i32[B, P]
-    context_len: jax.Array,       # i32[B]
-    spec: CacheSpec,
-    *,
-    interpret: bool = False,
-) -> jax.Array:
-    """Decode attention over the paged cache; one new token per row."""
-    b, num_q_heads, hd = q.shape
-    kvh, ps = spec.num_kv_heads, spec.page_size
-    if scale_layer is None or scale_layer.ndim != 4:
-        # placeholder so the kernel signature is stable
-        scale_layer = jnp.zeros((2, kvh, ps, max(hd // spec.quant_group, 1)),
-                                jnp.bfloat16)
-
-    kernel = functools.partial(_decode_kernel, spec, num_q_heads)
-    sgroup = max(hd // spec.quant_group, 1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, num_q_heads, hd), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
-        ],
-        out_specs=pl.BlockSpec((1, num_q_heads, hd),
-                               lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, kvh, ps, hd), cache_layer.dtype),
-            pltpu.VMEM((2, kvh, ps, hd), cache_layer.dtype),
-            pltpu.VMEM((2, kvh, ps, sgroup), jnp.bfloat16),
-            pltpu.VMEM((2, kvh, ps, sgroup), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, num_q_heads, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(page_table, context_len, q, cache_layer, scale_layer)
+    return out[..., :hd]

@@ -85,42 +85,59 @@ def sample_top_k_top_p(
     logits: jax.Array,            # f32[B, V]
     params: SamplingParams,
     rng: jax.Array,               # PRNG key
+    top_k_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Temperature -> top-k -> top-p -> categorical sample (or greedy).
 
     Returns (tokens i32[B], logprobs f32[B]); logprob is the post-
     temperature log-softmax at the chosen token, matching the reference's
     ``sample_topk_topp`` logprob output (``post_processor.cc:190-216``).
+
+    ``top_k_cap > 0`` restricts the candidate set to the top ``cap``
+    logits via ``lax.top_k`` instead of a full-vocab sort — exact for
+    requested top_k <= cap, and the industry-standard truncation for
+    top-p (the tail mass beyond the cap is renormalized away). A full
+    [B, vocab] sort every step costs more than the decode matmuls at
+    small batch; the engine defaults the cap on (ResourceConfig).
     """
     b, v = logits.shape
     temp = jnp.where(params.temperature > 0, params.temperature, 1.0)
     scaled = logits.astype(jnp.float32) / temp[:, None]
-    logprobs_full = jax.nn.log_softmax(scaled, axis=-1)
 
-    order = jnp.argsort(-scaled, axis=-1)                   # [B, V] desc
-    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+    if top_k_cap and top_k_cap < v:
+        cand_logits, cand_idx = jax.lax.top_k(scaled, top_k_cap)  # sorted
+        # denominator over the FULL vocab so logprobs stay exact
+        lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+        cand_logprobs = cand_logits - lse
+        c = top_k_cap
+    else:
+        cand_idx = jnp.argsort(-scaled, axis=-1)                  # [B, V]
+        cand_logits = jnp.take_along_axis(scaled, cand_idx, axis=-1)
+        lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+        cand_logprobs = cand_logits - lse
+        c = v
 
-    rank = jnp.arange(v, dtype=jnp.int32)[None, :]
+    rank = jnp.arange(c, dtype=jnp.int32)[None, :]
     k_eff = jnp.where(params.top_k > 0, params.top_k, v)[:, None]
     k_mask = rank < k_eff
 
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cand_probs = jnp.exp(cand_logprobs)
     # exclusive cumsum: keep tokens while mass *before* them < top_p, which
     # always keeps the top token even when top_p is tiny.
-    cum_before = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+    cum_before = jnp.cumsum(cand_probs, axis=-1) - cand_probs
     p_eff = jnp.where(params.top_p > 0, params.top_p, 1.0)[:, None]
     p_mask = cum_before < p_eff
 
     allowed = k_mask & p_mask
-    masked = jnp.where(allowed, sorted_logits, _NEG_INF)
+    masked = jnp.where(allowed, cand_logits, _NEG_INF)
 
-    gumbel = jax.random.gumbel(rng, (b, v), dtype=jnp.float32)
+    gumbel = jax.random.gumbel(rng, (b, c), dtype=jnp.float32)
     noise = jnp.where(params.do_sample[:, None], gumbel, 0.0)
     # re-normalize within the allowed set before adding gumbel noise so
     # top-p truncation renormalization is exact
     masked_logprobs = jax.nn.log_softmax(masked, axis=-1)
-    choice = jnp.argmax(masked_logprobs + noise, axis=-1)    # [B] in sorted order
-    tokens = jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0]
+    choice = jnp.argmax(masked_logprobs + noise, axis=-1)  # index into cand
+    tokens = jnp.take_along_axis(cand_idx, choice[:, None], axis=-1)[:, 0]
     logprob = jnp.take_along_axis(
-        logprobs_full, tokens[:, None], axis=-1)[:, 0]
+        cand_logprobs, choice[:, None], axis=-1)[:, 0]
     return tokens.astype(jnp.int32), logprob

@@ -55,6 +55,19 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
     logger.info("kv_cache_max_tokens = %d (free bytes %d)",
                 kv_cache_max_tokens, free)
 
+    # resolve the attention impl here so the cache layout matches it:
+    # the Pallas kernels need the storage minor dim padded to 128 lanes
+    # (physically free; XLA tiles HBM minor dims to 128 regardless)
+    attn_impl = resource_cfg.attention_impl
+    if attn_impl == "auto":
+        attn_impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                     else "xla")
+    resource_cfg.attention_impl = attn_impl
+    storage_hd = None
+    if (attn_impl in ("pallas", "pallas_interpret")
+            and model_cfg.head_dim % 128):
+        storage_hd = -(-model_cfg.head_dim // 128) * 128
+
     spec = CacheSpec(
         num_layers=model_cfg.num_layers,
         num_pages=kv_cache_max_tokens // page if model_cfg.cache_mode == 1
@@ -66,6 +79,7 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
         quant_group=model_cfg.cache_quant_group,
         dtype={"bfloat16": jax.numpy.bfloat16,
                "float32": jax.numpy.float32}[model_cfg.dtype],
+        storage_head_dim=storage_hd,
     )
     engine = LLMEngine(
         model_cfg, resource_cfg, params, spec,

@@ -23,7 +23,23 @@ def test_init_shapes():
     qspec = make_spec(quant_bit=8, quant_group=8)
     cache, scale = kv_ops.init_cache(qspec)
     assert cache.dtype == jnp.int8
-    assert scale.shape == (2, 2, 2, 9 * 4, 1)
+    # scales slot-minor (transposed) for 128-aligned kernel DMA slices
+    assert scale.shape == (2, 2, 2, 1, 9 * 4)
+
+
+def test_storage_head_dim_padding():
+    spec = make_spec(storage_head_dim=128)
+    cache, _ = kv_ops.init_cache(spec)
+    assert cache.shape[-1] == 128
+    k = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 8))
+    pt = jnp.array([[4]], jnp.int32)
+    slots = kv_ops.token_slots(pt, jnp.arange(3), jnp.zeros(3, jnp.int32),
+                               spec.page_size)
+    layer0, _ = kv_ops.append_kv(cache[0], None, k, k, slots, spec)
+    # padded lanes stay zero; logical lanes round-trip
+    gk, _ = kv_ops.gather_pages(layer0, None, pt, spec, jnp.float32)
+    np.testing.assert_allclose(gk[0, :3], k, rtol=1e-6)
+    assert float(jnp.abs(layer0[0, :, :, 8:]).max()) == 0.0
 
 
 def test_token_slots():

@@ -23,7 +23,7 @@ def test_greedy():
     toks, lp = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(toks, [1, 0])
     expected = jax.nn.log_softmax(logits)[jnp.arange(2), toks]
-    np.testing.assert_allclose(lp, expected, rtol=1e-5)
+    np.testing.assert_allclose(lp, expected, rtol=1e-3)
 
 
 def test_top_k_restricts_support():
