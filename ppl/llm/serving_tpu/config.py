@@ -230,6 +230,14 @@ class ResourceConfig:
     # top_k <= cap; standard truncation for top_p). 0 = exact full sort.
     sampling_top_k_cap: int = 256
 
+    # Decode-only phases run blocks of up to N on-device steps with
+    # sampled tokens feeding back inside one jitted program (lax.scan),
+    # so the host fetches tokens once per block instead of per step.
+    # Trade-off: stop-token finishes lag up to N-1 steps (wasted decode)
+    # and new requests join at block boundaries (TTFT += block time).
+    # 1 = reference-style per-step loop.
+    multi_step: int = 8
+
     def validate(self) -> None:
         if self.tensor_parallel_size < 1 or (
             self.tensor_parallel_size & (self.tensor_parallel_size - 1)

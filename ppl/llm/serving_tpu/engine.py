@@ -127,15 +127,18 @@ class LLMEngine:
                          else "xla")
         self.attn_impl = attn_impl
         self.top_k_cap = resource_cfg.sampling_top_k_cap
-        step = llama.make_step_fn(model_cfg, spec,
-                                  enable_penalty=enable_penalty,
-                                  quant_method=resource_cfg.quant_method,
-                                  attn_impl=attn_impl,
-                                  top_k_cap=self.top_k_cap)
+        self._step_kwargs = dict(
+            enable_penalty=enable_penalty,
+            quant_method=resource_cfg.quant_method,
+            attn_impl=attn_impl,
+            top_k_cap=self.top_k_cap)
+        step = llama.make_step_fn(model_cfg, spec, **self._step_kwargs)
         # donate device state so cache updates are in-place
         self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
         self._clear_slots = jax.jit(
             sampling_ops.clear_count_slots, donate_argnums=(0,))
+        self._multi_step = max(1, resource_cfg.multi_step)
+        self._multi_cache: Dict[int, Any] = {}
 
         self.batch_buckets = tuple(resource_cfg.batch_buckets)
         self.token_buckets = tuple(resource_cfg.token_buckets)
@@ -144,6 +147,16 @@ class LLMEngine:
                  // spec.page_size))
 
     # -- bucketing -----------------------------------------------------------
+
+    def _get_multi_step(self, n_steps: int):
+        fn = self._multi_cache.get(n_steps)
+        if fn is None:
+            fn = jax.jit(
+                llama.make_multi_step_fn(self.model_cfg, self.spec, n_steps,
+                                         **self._step_kwargs),
+                donate_argnums=(1, 2, 3))
+            self._multi_cache[n_steps] = fn
+        return fn
 
     def _kvp_bucket(self, max_pages: int) -> int:
         b = 1
@@ -170,6 +183,17 @@ class LLMEngine:
         prefill_idx = [i for i, t in enumerate(tasks)
                        if len(t.next_tokens) > 1]
 
+        # decode-only phases run blocks of N on-device steps (largest
+        # power of two <= min rest budget, bounding compile variants and
+        # length-finish waste)
+        n_steps = 1
+        if self._multi_step > 1 and not prefill_idx and tasks:
+            budget = min(t.rest_iters for t in tasks)
+            n_steps = self._multi_step
+            while n_steps > max(budget, 1):
+                n_steps //= 2
+            n_steps = max(n_steps, 1)
+
         bd = _bucket(max(len(decode_idx), 1), self.batch_buckets)
         bp = _bucket(len(prefill_idx), _PREFILL_ROW_BUCKETS)
         qp = (_bucket(max(len(tasks[i].next_tokens)
@@ -177,7 +201,8 @@ class LLMEngine:
               if prefill_idx else self.token_buckets[0])
         max_pages = 1
         for t in tasks:
-            need = -(-(t.start_pos + len(t.next_tokens)) // self.spec.page_size)
+            need = -(-(t.start_pos + len(t.next_tokens) + n_steps - 1)
+                     // self.spec.page_size)
             max_pages = max(max_pages, need)
         kvp = self._kvp_bucket(max_pages)
 
@@ -254,15 +279,30 @@ class LLMEngine:
         self._step_counter += 1
         t1 = time.perf_counter_ns()
 
-        out = self._jit_step(self._params, self.kv_cache, self.kv_scale,
-                             self.count_map, inp, rng)
-        self.kv_cache = out.kv_cache
-        self.kv_scale = out.kv_scale
-        self.count_map = out.count_map
-        t2 = time.perf_counter_ns()
-
-        tokens = np.asarray(out.tokens)   # device sync point
-        logprobs = np.asarray(out.logprobs)
+        if n_steps > 1:
+            # decode-only: run a block of N steps on device, fetch once
+            toks_dev, lps_dev, self.kv_cache, self.kv_scale, \
+                self.count_map = self._get_multi_step(n_steps)(
+                    self._params, self.kv_cache, self.kv_scale,
+                    self.count_map, inp, rng)
+            toks_dev.copy_to_host_async()
+            lps_dev.copy_to_host_async()
+            t2 = time.perf_counter_ns()
+            tokens = np.asarray(toks_dev)      # [N, B_bucket]
+            logprobs = np.asarray(lps_dev)
+        else:
+            out = self._jit_step(self._params, self.kv_cache, self.kv_scale,
+                                 self.count_map, inp, rng)
+            self.kv_cache = out.kv_cache
+            self.kv_scale = out.kv_scale
+            self.count_map = out.count_map
+            # issue the D2H copies immediately: on tunneled devices a
+            # blocking fetch costs ~30x more than an async-then-consume
+            out.tokens.copy_to_host_async()
+            out.logprobs.copy_to_host_async()
+            t2 = time.perf_counter_ns()
+            tokens = np.asarray(out.tokens)[None]      # [1, B_bucket]
+            logprobs = np.asarray(out.logprobs)[None]
         t3 = time.perf_counter_ns()
 
         if profiler is not None:
@@ -271,15 +311,15 @@ class LLMEngine:
             c.model_forward_cost = (t2 - t1) // 1000
             c.choose_token_cost = (t3 - t2) // 1000
 
-        # reorder to task order
-        out_tokens = np.zeros(len(tasks), np.int32)
-        out_logprobs = np.zeros(len(tasks), np.float32)
+        # reorder bucket rows back to task order; result [n_steps, tasks]
+        out_tokens = np.zeros((n_steps, len(tasks)), np.int32)
+        out_logprobs = np.zeros((n_steps, len(tasks)), np.float32)
         for row, i in enumerate(decode_idx):
-            out_tokens[i] = tokens[row]
-            out_logprobs[i] = logprobs[row]
+            out_tokens[:, i] = tokens[:, row]
+            out_logprobs[:, i] = logprobs[:, row]
         for prow, i in enumerate(prefill_idx):
-            out_tokens[i] = tokens[bd + prow]
-            out_logprobs[i] = logprobs[bd + prow]
+            out_tokens[:, i] = tokens[:, bd + prow]
+            out_logprobs[:, i] = logprobs[:, bd + prow]
         return out_tokens, out_logprobs
 
     def clear_penalty_slots(self, slots: Sequence[int]) -> None:

@@ -482,34 +482,42 @@ class LLMGenerator:
 
                 send_items = []
                 n_prefill_tokens = 0
-                for i, t in enumerate(tasks):
-                    gen_token = int(tokens[i])
-                    logprob = float(logprobs[i])
-                    t.gen_tokens_cnt += 1
-                    prev_seqlen = len(t.next_tokens)
-                    if prev_seqlen > 1:
-                        n_prefill_tokens += prev_seqlen
-                    t.next_tokens = [gen_token]
-                    t.start_pos += prev_seqlen
-                    t.steps += 1
-                    t.rest_iters -= 1
+                # tokens/logprobs are [n_steps, batch]: n_steps > 1 when the
+                # engine ran a decode-only multi-step block; tokens emitted
+                # after a request's finish inside the block are discarded
+                finished_in_block = set()
+                for n in range(tokens.shape[0]):
+                    for i, t in enumerate(tasks):
+                        if t.tid in finished_in_block:
+                            continue
+                        gen_token = int(tokens[n, i])
+                        logprob = float(logprobs[n, i])
+                        t.gen_tokens_cnt += 1
+                        prev_seqlen = len(t.next_tokens)
+                        if n == 0 and prev_seqlen > 1:
+                            n_prefill_tokens += prev_seqlen
+                        t.next_tokens = [gen_token]
+                        t.start_pos += prev_seqlen
+                        t.steps += 1
+                        t.rest_iters -= 1
 
-                    flag = FinishFlag.NOT_FINISHED
-                    if t.rest_iters <= 0:
-                        flag = FinishFlag.LENGTH
-                    elif t.early_stopping and (
-                            gen_token in cfg.stop_tokens
-                            or (t.stop_tokens
-                                and gen_token in t.stop_tokens)):
-                        flag = FinishFlag.EOS_TOKEN
-                    if flag != FinishFlag.NOT_FINISHED:
-                        if self._cooldown > 0:
-                            self._cooldown -= 1
-                        self._finished.put((t.tid, _FROM_WORKER))
-                    is_special = gen_token in cfg.special_tokens
-                    send_items.append((t.tid, gen_token, logprob, flag,
-                                       is_special, t.is_token_in_out))
-                    prof.global_.output_token_cnt += 1
+                        flag = FinishFlag.NOT_FINISHED
+                        if t.rest_iters <= 0:
+                            flag = FinishFlag.LENGTH
+                        elif t.early_stopping and (
+                                gen_token in cfg.stop_tokens
+                                or (t.stop_tokens
+                                    and gen_token in t.stop_tokens)):
+                            flag = FinishFlag.EOS_TOKEN
+                        if flag != FinishFlag.NOT_FINISHED:
+                            finished_in_block.add(t.tid)
+                            if self._cooldown > 0:
+                                self._cooldown -= 1
+                            self._finished.put((t.tid, _FROM_WORKER))
+                        is_special = gen_token in cfg.special_tokens
+                        send_items.append((t.tid, gen_token, logprob, flag,
+                                           is_special, t.is_token_in_out))
+                        prof.global_.output_token_cnt += 1
 
                 self._decode_future = self._decoder.submit(
                     self._decode_and_send, send_items)

@@ -299,3 +299,46 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                           logits if return_logits else None)
 
     return step
+
+
+def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
+                       **step_kwargs):
+    """N decode steps in ONE jitted program (``lax.scan``), sampled tokens
+    feeding back on device.
+
+    The reference's loop is one kernel launch bundle + one D2H sync per
+    token (``llm_engine.cc:171-236``); on TPU the dispatch+fetch round
+    trip is the decode bottleneck long before the MXU is, so decode-only
+    phases run in blocks of ``num_steps`` and the host observes tokens
+    once per block. Stop-token checks lag by up to ``num_steps - 1``
+    steps (bounded waste, chosen by the scheduler); requests that finish
+    mid-block keep writing into their own (already reserved) pages, which
+    are never read again.
+
+    Only decode rows participate (prefill shapes must be the empty
+    bucket). Returns (tokens [N, B], logprobs [N, B], cache, scale, cm).
+    """
+    step = make_step_fn(cfg, spec, **step_kwargs)
+
+    def multi_step(params, kv_cache, kv_scale, count_map,
+                   inp: StepInput, rng: jax.Array):
+        assert inp.prefill_tokens.shape[0] == 0, (
+            "multi-step blocks are decode-only")
+
+        def body(carry, i):
+            kv_cache, kv_scale, count_map, tokens, pos, ctx = carry
+            it = inp._replace(decode_tokens=tokens, decode_pos=pos,
+                              context_len=ctx)
+            out = step(params, kv_cache, kv_scale, count_map, it,
+                       jax.random.fold_in(rng, i))
+            carry = (out.kv_cache, out.kv_scale, out.count_map,
+                     out.tokens, pos + 1, ctx + 1)
+            return carry, (out.tokens, out.logprobs)
+
+        init = (kv_cache, kv_scale, count_map, inp.decode_tokens,
+                inp.decode_pos, inp.context_len)
+        (kv_cache, kv_scale, count_map, *_), (toks, lps) = jax.lax.scan(
+            body, init, jnp.arange(num_steps, dtype=jnp.int32))
+        return toks, lps, kv_cache, kv_scale, count_map
+
+    return multi_step

@@ -1,0 +1,83 @@
+"""Multi-step decode blocks: equivalence with the per-step loop."""
+
+import numpy as np
+
+from ppl.llm.serving_tpu.config import ResourceConfig
+from ppl.llm.serving_tpu.request import FinishFlag
+
+from test_generator_e2e import DummyTokenizer, build, make_model_cfg, req, run
+
+
+def build_with_multi(multi_step):
+    return build(resource_kw=dict(multi_step=multi_step))
+
+
+def test_multi_matches_single_greedy():
+    gen1, conn1 = build_with_multi(1)
+    gen8, conn8 = build_with_multi(8)
+    try:
+        run(gen1, conn1, [req(1, prompt="block equivalence", gen_len=20)])
+        run(gen8, conn8, [req(1, prompt="block equivalence", gen_len=20)])
+        assert conn1.tokens[1] == conn8.tokens[1]
+    finally:
+        gen1.shutdown()
+        gen8.shutdown()
+
+
+def test_multi_batch_greedy_equivalence():
+    gen1, conn1 = build_with_multi(1)
+    gen8, conn8 = build_with_multi(8)
+    try:
+        reqs = [req(i, prompt=f"prompt number {i}", gen_len=16)
+                for i in range(3)]
+        run(gen1, conn1, list(reqs))
+        reqs = [req(i, prompt=f"prompt number {i}", gen_len=16)
+                for i in range(3)]
+        run(gen8, conn8, list(reqs))
+        for i in range(3):
+            assert conn1.tokens[i] == conn8.tokens[i], i
+    finally:
+        gen1.shutdown()
+        gen8.shutdown()
+
+
+def test_multi_step_exact_length():
+    """gen_len not a multiple of the block size still yields exactly
+    gen_len tokens (block size shrinks to the remaining budget)."""
+    gen, conn = build_with_multi(8)
+    try:
+        run(gen, conn, [req(1, gen_len=13)])
+        assert len(conn.tokens[1]) == 13
+        assert conn.finish_flags[1] == FinishFlag.LENGTH
+    finally:
+        gen.shutdown()
+
+
+def test_multi_step_stop_token_truncates_block():
+    """A stop token inside a block finishes the request; later block
+    tokens are discarded."""
+    gen, conn = build_with_multi(8)
+    try:
+        r = req(1, gen_len=64, early_stopping=True)
+        r.stop_tokens = set(range(256))  # first token stops
+        run(gen, conn, [r])
+        assert len(conn.tokens[1]) == 1
+        assert conn.finish_flags[1] == FinishFlag.EOS_TOKEN
+        # resources reclaimed
+        import time
+        time.sleep(0.1)
+        assert gen.page_mgr.get_avail() == gen.page_mgr.num_pages
+    finally:
+        gen.shutdown()
+
+
+def test_multi_step_resources_exact():
+    """KV pages must cover the whole block's growth (ctx + N)."""
+    gen, conn = build_with_multi(8)
+    try:
+        # prompt 12 tokens + 20 gen = 32 > 1 page (16); blocks cross the
+        # page boundary mid-block
+        run(gen, conn, [req(1, prompt="abcdefghijk", gen_len=20)])
+        assert len(conn.tokens[1]) == 20
+    finally:
+        gen.shutdown()
