@@ -176,6 +176,11 @@ class GeneratorConfig:
     enable_prefix_cache: bool = False
     max_prefill_batch: int = 64
     enable_profiling: bool = False
+    # device tracing: capture a jax.profiler trace of steps
+    # [trace_start_step, trace_start_step + trace_num_steps) into trace_dir
+    trace_dir: str = ""
+    trace_start_step: int = 10
+    trace_num_steps: int = 10
 
     def validate(self) -> None:
         if self.max_running_batch <= 0:

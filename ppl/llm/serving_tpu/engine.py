@@ -171,13 +171,21 @@ class LLMEngine:
 
     def execute(self, tasks: List[TaskState], profiler=None
                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Run one fused step for ``tasks``; returns (tokens, logprobs)
-        aligned with ``tasks`` order.
+        """Run one step/block for ``tasks``; returns (tokens, logprobs)
+        shaped [n_steps, len(tasks)] aligned with ``tasks`` order.
 
         Decode-mode rows are tasks with exactly one new token; prefill-mode
         rows have more (``decoding_batches`` split, ``llm_engine.cc:80-108``).
         """
-        t0 = time.perf_counter_ns()
+        return self.run_plan(self.build_plan(tasks), profiler=profiler)
+
+    def build_plan(self, tasks: List[TaskState]) -> Dict[str, Any]:
+        """Assemble the per-step batch plan (pure host work, picklable).
+
+        In the multi-host topology the controller builds the plan and
+        broadcasts it; every host then enters :meth:`run_plan` in lockstep
+        (SURVEY.md section 7.3 "cross-host continuous batching").
+        """
         decode_idx = [i for i, t in enumerate(tasks)
                       if len(t.next_tokens) == 1]
         prefill_idx = [i for i, t in enumerate(tasks)
@@ -256,23 +264,64 @@ class LLMEngine:
             prefill_len[prow] = n
             fill_row(bd + prow, t)
 
+        return {
+            "n_steps": n_steps,
+            "n_tasks": len(tasks),
+            "bd": bd,
+            "decode_idx": decode_idx,
+            "prefill_idx": prefill_idx,
+            "arrays": {
+                "decode_tokens": decode_tokens,
+                "decode_pos": decode_pos,
+                "prefill_tokens": prefill_tokens,
+                "prefill_start": prefill_start,
+                "prefill_len": prefill_len,
+                "page_table": page_table,
+                "context_len": context_len,
+                "batch_slots": batch_slots,
+                "temperature": temperature,
+                "top_k": top_k,
+                "top_p": top_p,
+                "do_sample": do_sample,
+                "rep_pen": rep_pen,
+                "pres_pen": pres_pen,
+                "freq_pen": freq_pen,
+            },
+        }
+
+    def run_plan(self, plan: Dict[str, Any], profiler=None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Execute a batch plan. All hosts of a multi-host mesh must call
+        this with the identical plan, in the same order (lockstep)."""
+        t0 = time.perf_counter_ns()
+        a = plan["arrays"]
+        n_steps = plan["n_steps"]
+        bd = plan["bd"]
+        decode_idx = plan["decode_idx"]
+        prefill_idx = plan["prefill_idx"]
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host SPMD: every host holds the identical plan, so
+            # inputs are placed fully-replicated on the global mesh
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            a = {k: jax.device_put(v, sharding) for k, v in a.items()}
         inp = llama.StepInput(
-            decode_tokens=jnp.asarray(decode_tokens),
-            decode_pos=jnp.asarray(decode_pos),
-            prefill_tokens=jnp.asarray(prefill_tokens),
-            prefill_start=jnp.asarray(prefill_start),
-            prefill_len=jnp.asarray(prefill_len),
-            page_table=jnp.asarray(page_table),
-            context_len=jnp.asarray(context_len),
-            batch_slots=jnp.asarray(batch_slots),
+            decode_tokens=jnp.asarray(a["decode_tokens"]),
+            decode_pos=jnp.asarray(a["decode_pos"]),
+            prefill_tokens=jnp.asarray(a["prefill_tokens"]),
+            prefill_start=jnp.asarray(a["prefill_start"]),
+            prefill_len=jnp.asarray(a["prefill_len"]),
+            page_table=jnp.asarray(a["page_table"]),
+            context_len=jnp.asarray(a["context_len"]),
+            batch_slots=jnp.asarray(a["batch_slots"]),
             sampling=sampling_ops.SamplingParams(
-                temperature=jnp.asarray(temperature),
-                top_k=jnp.asarray(top_k),
-                top_p=jnp.asarray(top_p),
-                do_sample=jnp.asarray(do_sample),
-                repetition_penalty=jnp.asarray(rep_pen),
-                presence_penalty=jnp.asarray(pres_pen),
-                frequency_penalty=jnp.asarray(freq_pen),
+                temperature=jnp.asarray(a["temperature"]),
+                top_k=jnp.asarray(a["top_k"]),
+                top_p=jnp.asarray(a["top_p"]),
+                do_sample=jnp.asarray(a["do_sample"]),
+                repetition_penalty=jnp.asarray(a["rep_pen"]),
+                presence_penalty=jnp.asarray(a["pres_pen"]),
+                frequency_penalty=jnp.asarray(a["freq_pen"]),
             ),
         )
         rng = jax.random.fold_in(self._rng, self._step_counter)
@@ -312,8 +361,8 @@ class LLMEngine:
             c.choose_token_cost = (t3 - t2) // 1000
 
         # reorder bucket rows back to task order; result [n_steps, tasks]
-        out_tokens = np.zeros((n_steps, len(tasks)), np.int32)
-        out_logprobs = np.zeros((n_steps, len(tasks)), np.float32)
+        out_tokens = np.zeros((n_steps, plan["n_tasks"]), np.int32)
+        out_logprobs = np.zeros((n_steps, plan["n_tasks"]), np.float32)
         for row, i in enumerate(decode_idx):
             out_tokens[:, i] = tokens[:, row]
             out_logprobs[:, i] = logprobs[:, row]
@@ -326,6 +375,16 @@ class LLMEngine:
         if self.enable_penalty and len(slots):
             self.count_map = self._clear_slots(
                 self.count_map, jnp.asarray(list(slots), jnp.int32))
+
+    # -- tracing -------------------------------------------------------------
+
+    def start_trace(self, log_dir: str) -> None:
+        """Begin a jax.profiler device trace (the TPU-native analog of the
+        reference's GPU-profiler hooks; SURVEY.md section 5 tracing)."""
+        jax.profiler.start_trace(log_dir)
+
+    def stop_trace(self) -> None:
+        jax.profiler.stop_trace()
 
     # -- memory --------------------------------------------------------------
 

@@ -80,7 +80,8 @@ class _LlmRequest:
 class LLMGenerator:
     def __init__(self, model_cfg: ModelConfig, gen_cfg: GeneratorConfig,
                  engine: LLMEngine, tokenizer: Optional[Tokenizer],
-                 connection: Connection, kv_cache_max_tokens: int):
+                 connection: Connection, kv_cache_max_tokens: int,
+                 plan_channel=None):
         model_cfg.validate()
         gen_cfg.validate()
         self.model_cfg = model_cfg
@@ -89,6 +90,9 @@ class LLMGenerator:
         self.tokenizer = tokenizer
         self.conn = connection
         self.kv_cache_max_tokens = kv_cache_max_tokens
+        # multi-host: controller broadcasts each step's batch plan through
+        # this channel before executing (parallel.multihost)
+        self._plan_channel = plan_channel
 
         # host allocators: C++ extension when built, Python reference impl
         # otherwise (utils/_native.py)
@@ -464,7 +468,10 @@ class LLMGenerator:
 
             tasks = self._tid_list
             try:
-                tokens, logprobs = self.engine.execute(tasks, profiler=prof)
+                plan = self.engine.build_plan(tasks)
+                if self._plan_channel is not None:
+                    plan = self._plan_channel(plan)
+                tokens, logprobs = self.engine.run_plan(plan, profiler=prof)
             except Exception as e:  # engine failure fails all running tasks
                 logger.exception("engine execute failed")
                 if self._decode_future is not None:
@@ -528,6 +535,12 @@ class LLMGenerator:
             prof.accumulate_step()
             prof.pending_task_size = self.sched.get_pending_size()
             loop_step += 1
+
+            if cfg.trace_dir:
+                if loop_step == cfg.trace_start_step:
+                    self.engine.start_trace(cfg.trace_dir)
+                elif loop_step == cfg.trace_start_step + cfg.trace_num_steps:
+                    self.engine.stop_trace()
 
             if cfg.enable_profiling and (
                     loop_step == 1 or loop_step % 100 == 0

@@ -60,6 +60,28 @@ def is_controller() -> bool:
     return jax.process_index() == 0
 
 
+def controller_plan_channel(plan: Any) -> Any:
+    """Controller side of the lockstep plan channel: broadcast this step's
+    batch plan to every worker host; pass as LLMGenerator(plan_channel=)."""
+    return broadcast_plan({"op": "step", "plan": plan})["plan"]
+
+
+def worker_serve(engine) -> None:
+    """Worker-host main loop: execute the controller's batch plans in
+    lockstep until a stop message arrives."""
+    logger.info("worker %d serving", jax.process_index())
+    while True:
+        msg = broadcast_plan(None)
+        if msg.get("op") == "stop":
+            logger.info("worker %d stopping", jax.process_index())
+            return
+        engine.run_plan(msg["plan"])
+
+
+def broadcast_stop() -> None:
+    broadcast_plan({"op": "stop"})
+
+
 def broadcast_plan(plan: Any) -> Any:
     """Broadcast a picklable per-step batch plan from the controller to
     every host; returns the plan on all hosts.

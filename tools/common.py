@@ -64,6 +64,8 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable-prefix-cache", action="store_true")
     p.add_argument("--enable-penalty", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
+    p.add_argument("--jax-trace-dir", default="",
+                   help="capture a jax.profiler device trace of generator steps 10..20 (run must reach step 20)")
     p.add_argument("--disable-log-req", action="store_true")
 
 
@@ -77,10 +79,10 @@ def apply_platform_env() -> None:
 
 
 def build_configs(args):
-    apply_platform_env()
     """flags -> (ModelConfig, ResourceConfig, GeneratorConfig), with the
     reference's cross-flag rules (prefix-cache => max_prefill_batch=1,
     ``llm_server.cc:102-104``)."""
+    apply_platform_env()
     if args.model_param_path:
         model_cfg = ModelConfig.from_params_json(args.model_param_path)
         model_cfg.dtype = args.dtype
@@ -124,6 +126,7 @@ def build_configs(args):
         special_tokens=parse_tokens_list(args.special_tokens),
         enable_prefix_cache=args.enable_prefix_cache,
         enable_profiling=args.enable_profiling,
+        trace_dir=args.jax_trace_dir,
     )
     return model_cfg, resource_cfg, gen_cfg
 

@@ -23,6 +23,13 @@ def main():
     add_generator_args(parser)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=23333)
+    # multi-host (north-star): same command on every host; host 0 becomes
+    # the controller + frontend, the rest execute plans in lockstep
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host0:port for jax.distributed; enables "
+                             "multi-host serving")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
     setup_logging()
     # crash backtraces (reference installs a SIGSEGV/FPE/ILL handler,
@@ -31,13 +38,32 @@ def main():
     faulthandler.register(signal.SIGTERM, chain=True)
 
     model_cfg, resource_cfg, gen_cfg = build_configs(args)
+
+    mesh = None
+    plan_channel = None
+    multi_proc = args.coordinator_address is not None
+    if multi_proc or resource_cfg.tensor_parallel_size > 1:
+        from ppl.llm.serving_tpu.parallel import multihost, shardings
+        if multi_proc:
+            multihost.initialize(args.coordinator_address,
+                                 args.num_processes, args.process_id)
+        mesh = shardings.make_mesh(resource_cfg.tensor_parallel_size)
+
+    engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg,
+                                   mesh=mesh)
+
+    if multi_proc:
+        from ppl.llm.serving_tpu.parallel import multihost
+        if not multihost.is_controller():
+            multihost.worker_serve(engine)
+            return
+        plan_channel = multihost.controller_plan_channel
+
     tokenizer = create_tokenizer(args.model_type, resource_cfg.tokenizer_path,
                                  args.tokenizer_type)
-    engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
-
     conn = GRPCConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,
-                             kv_max)
+                             kv_max, plan_channel=plan_channel)
     server = GRPCServer(conn, generator.process, generator.clear_task)
     server.init(args.host, args.port)
     print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
