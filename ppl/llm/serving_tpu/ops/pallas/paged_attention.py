@@ -132,70 +132,144 @@ class _Row:
         return self.v
 
 
-def _decode_kernel(spec: CacheSpec, num_q_heads: int,
+def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                    pt_ref, ctx_ref,                  # scalar prefetch
                    q_ref, cache_ref, scale_ref,      # inputs
                    o_ref,                            # output
                    k_buf, v_buf, ks_buf, vs_buf, sem):
-    b = pl.program_id(0)
+    """Each program handles ``seq_blk`` sequences: every page phase fires
+    the whole block's slab DMAs before waiting, so seq_blk copies overlap
+    (a one-sequence-per-program grid is DMA-latency-bound: TPU grids run
+    sequentially on the core)."""
     kvh, shd = spec.num_kv_heads, spec.shd
     g = num_q_heads // kvh
     ps = spec.page_size
-    ctx = ctx_ref[b]
+    base = pl.program_id(0) * seq_blk
+    quant = spec.quantized
 
-    start_dma, wait_dma, load_kv = _make_dma_helpers(
-        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, ks_buf, vs_buf,
-        sem, _Row(b))
+    ctxs = [ctx_ref[base + j] for j in range(seq_blk)]
+    max_ctx = functools.reduce(jnp.maximum, ctxs)
 
-    @pl.when(ctx > 0)
+    def start_dma(slot, p_idx):
+        for j in range(seq_blk):
+            @pl.when(p_idx * ps < ctxs[j])
+            def _():
+                page = pt_ref[base + j, p_idx]
+                o = page * ps
+                pltpu.make_async_copy(
+                    cache_ref.at[0, :, pl.ds(o, ps), :],
+                    k_buf.at[slot, j], sem.at[slot, j, 0]).start()
+                pltpu.make_async_copy(
+                    cache_ref.at[1, :, pl.ds(o, ps), :],
+                    v_buf.at[slot, j], sem.at[slot, j, 1]).start()
+                if quant:
+                    pltpu.make_async_copy(
+                        scale_ref.at[0, :, :, pl.ds(o, ps)],
+                        ks_buf.at[slot, j], sem.at[slot, j, 2]).start()
+                    pltpu.make_async_copy(
+                        scale_ref.at[1, :, :, pl.ds(o, ps)],
+                        vs_buf.at[slot, j], sem.at[slot, j, 3]).start()
+
+    def wait_dma(slot, p_idx):
+        for j in range(seq_blk):
+            @pl.when(p_idx * ps < ctxs[j])
+            def _():
+                pltpu.make_async_copy(
+                    cache_ref.at[0, :, pl.ds(0, ps), :],
+                    k_buf.at[slot, j], sem.at[slot, j, 0]).wait()
+                pltpu.make_async_copy(
+                    cache_ref.at[1, :, pl.ds(0, ps), :],
+                    v_buf.at[slot, j], sem.at[slot, j, 1]).wait()
+                if quant:
+                    pltpu.make_async_copy(
+                        scale_ref.at[0, :, :, pl.ds(0, ps)],
+                        ks_buf.at[slot, j], sem.at[slot, j, 2]).wait()
+                    pltpu.make_async_copy(
+                        scale_ref.at[1, :, :, pl.ds(0, ps)],
+                        vs_buf.at[slot, j], sem.at[slot, j, 3]).wait()
+
+    @pl.when(max_ctx > 0)
     def _():
-        q = q_ref[0].astype(jnp.float32).reshape(kvh, g, shd)
+        # [seq_blk, Hq, shd] -> [seq_blk*KVH, G, shd]
+        q = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, shd)
         q = q * (spec.head_dim ** -0.5)
 
         start_dma(0, 0)
+
+        # per-(seq, head) row context lengths, built via scalar selects
+        # (Mosaic cannot reshape/broadcast tiny sub-lane vectors)
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (seq_blk * kvh, 1, 1), 0)
+        ctx_b = jnp.zeros((seq_blk * kvh, 1, 1), jnp.int32)
+        for j, c in enumerate(ctxs):
+            ctx_b = jnp.where(row_ids // kvh == j, c, ctx_b)
 
         def body(p_idx, carry):
             acc, m, l = carry
             slot = p_idx % 2
 
-            @pl.when((p_idx + 1) * ps < ctx)
+            @pl.when((p_idx + 1) * ps < max_ctx)
             def _():
                 start_dma((p_idx + 1) % 2, p_idx + 1)
 
-            wait_dma(slot)
-            k, v = load_kv(slot)
+            wait_dma(slot, p_idx)
+            if quant:
+                k = _dequant(
+                    k_buf[slot].reshape(seq_blk * kvh, ps, shd),
+                    ks_buf[slot].reshape(seq_blk * kvh,
+                                         spec.scale_groups, ps),
+                    spec.quant_group, jnp.float32)
+                v = _dequant(
+                    v_buf[slot].reshape(seq_blk * kvh, ps, shd),
+                    vs_buf[slot].reshape(seq_blk * kvh,
+                                         spec.scale_groups, ps),
+                    spec.quant_group, jnp.float32)
+            else:
+                k = k_buf[slot].astype(jnp.float32).reshape(
+                    seq_blk * kvh, ps, shd)
+                v = v_buf[slot].astype(jnp.float32).reshape(
+                    seq_blk * kvh, ps, shd)
 
-            # scores [KVH, G, ps] = q [KVH, G, shd] @ k^T [KVH, shd, ps]
+            # rows whose sequence has no page at this phase read buffers
+            # that were never DMA'd (uninitialized VMEM; may hold NaN/inf
+            # which would poison the masked dot products): zero them
+            active = (p_idx * ps) < ctx_b                # [sb*KVH, 1, 1]
+            k = jnp.where(active, k, 0.0)
+            v = jnp.where(active, v, 0.0)
+
+            # scores [sb*KVH, G, ps]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            valid = (p_idx * ps
-                     + jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps), 2)
-                     ) < ctx
+            valid = (p_idx * ps + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, ps), 2)) < ctx_b
             s = jnp.where(valid, s, _NEG_INF)
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1))     # [KVH, G]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
             alpha = jnp.exp(m - m_new)
-            p_exp = jnp.exp(s - m_new[..., None])           # [KVH, G, ps]
+            p_exp = jnp.exp(s - m_new[..., None])
             p_exp = jnp.where(valid, p_exp, 0.0)
             l_new = l * alpha + jnp.sum(p_exp, axis=-1)
             pv = jax.lax.dot_general(
                 p_exp, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)         # [KVH, G, shd]
+                preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((kvh, g, shd), jnp.float32)
-        m0 = jnp.full((kvh, g), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((kvh, g), jnp.float32)
-        n_pages = pl.cdiv(ctx, ps)
+        acc0 = jnp.zeros((seq_blk * kvh, g, shd), jnp.float32)
+        m0 = jnp.full((seq_blk * kvh, g), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((seq_blk * kvh, g), jnp.float32)
+        n_pages = pl.cdiv(max_ctx, ps)
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
         out = acc / jnp.maximum(l, 1e-30)[..., None]
-        o_ref[0] = out.reshape(num_q_heads, shd).astype(o_ref.dtype)
+        # zero rows whose ctx == 0 (padding sequences inside the block)
+        out = jnp.where(ctx_b > 0, out, 0.0)
+        o_ref[...] = out.reshape(seq_blk, num_q_heads, shd).astype(
+            o_ref.dtype)
 
-    @pl.when(ctx <= 0)
+    @pl.when(max_ctx <= 0)
     def _():
-        o_ref[0] = jnp.zeros((num_q_heads, shd), o_ref.dtype)
+        o_ref[...] = jnp.zeros((seq_blk, num_q_heads, shd), o_ref.dtype)
 
 
 def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
@@ -312,6 +386,7 @@ def paged_decode_attention(
     context_len: jax.Array,       # i32[B]
     spec: CacheSpec,
     *,
+    seq_block: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode attention over the paged cache; one new token per row."""
@@ -320,21 +395,33 @@ def paged_decode_attention(
     if scale_layer is None or scale_layer.ndim != 4:
         scale_layer = _scale_placeholder(spec)
     q = _pad_q(q, spec)
+    while seq_block > 1 and b % seq_block:
+        seq_block //= 2
 
-    kernel = functools.partial(_decode_kernel, spec, num_q_heads)
+    kvh, ps = spec.num_kv_heads, spec.page_size
+    kernel = functools.partial(_decode_kernel, spec, num_q_heads, seq_block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // seq_block,),
         in_specs=[
-            pl.BlockSpec((1, num_q_heads, shd), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((seq_block, num_q_heads, shd),
+                         lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, num_q_heads, shd),
+        out_specs=pl.BlockSpec((seq_block, num_q_heads, shd),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_scratch_shapes(spec, cache_layer.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
+            pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
+            pltpu.VMEM((2, seq_block, kvh, spec.scale_groups, ps),
+                       jnp.bfloat16),
+            pltpu.VMEM((2, seq_block, kvh, spec.scale_groups, ps),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, seq_block, 4)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
