@@ -105,9 +105,10 @@ class LLMEngine:
 
         self.kv_cache, kv_scale = kv_ops.init_cache(spec)
         if kv_scale is None:
-            kv_scale = jnp.zeros((spec.num_layers, 1),
-                                 jnp.bfloat16 if model_cfg.dtype == "bfloat16"
-                                 else jnp.float32)
+            dt = (jnp.bfloat16 if model_cfg.dtype == "bfloat16"
+                  else jnp.float32)
+            kv_scale = [jnp.zeros((1,), dt)
+                        for _ in range(spec.num_layers)]
         self.kv_scale = kv_scale
         if enable_penalty:
             self.count_map = sampling_ops.init_count_map(

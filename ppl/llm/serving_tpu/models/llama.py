@@ -19,18 +19,21 @@ the reference's fused prefill+decode step (``llm_engine.h:40-95``'s
 - Sampling + penalties run in the same program; the sampled tokens are the
   only per-step device->host traffic.
 
-Weights layout: per-layer tensors stacked on a leading layer axis and the
-layer loop expressed with ``lax.scan`` — compile time stays O(1) in depth.
-QKV and gate/up are pre-fused into single matmuls (the reference gets this
-from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``) but laid
-out so tensor-parallel sharding splits cleanly WITHOUT resharding:
+Weights and KV cache are PER-LAYER pytree lists and the layer loop is
+unrolled: per-layer cache arrays are donated and updated truly in place,
+whereas a stacked cache scanned with ``lax.scan`` forces XLA to assemble
+a fresh multi-GB ys buffer every step (measured ~80 ms/step of pure copy
+on v5e). QKV and gate/up are pre-fused into single matmuls (the reference
+gets this from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``)
+but laid out so tensor-parallel sharding splits cleanly WITHOUT
+resharding:
 
-    wqkv:      [L, D, KVH, G+2, hd]   (G = q heads per kv head; per kv
+    wqkv:      [D, KVH, G+2, hd]   (G = q heads per kv head; per kv
                head the G q columns, the k column and the v column sit
                together, so sharding the KVH axis gives each chip whole
                GQA groups — the reference's kv-head TP split,
                llm_engine.cc:122-162)
-    w_gate_up: [L, D, 2, I]           (axis 3 sharding keeps gate/up halves
+    w_gate_up: [D, 2, I]           (axis 2 sharding keeps gate/up halves
                aligned per chip; a flat [D, 2I] concat would straddle
                shard boundaries)
 """
@@ -82,17 +85,26 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
     s = d ** -0.5
+    layer_keys = jax.random.split(keys[1], l)
+
+    def make_layer(lk):
+        k1, k2, k3, k4 = jax.random.split(lk, 4)
+        return {
+            "attn_norm": jnp.ones((d,), dtype),
+            "ffn_norm": jnp.ones((d,), dtype),
+            "wqkv": w(k1, (d, n_kv, g + 2, hd), s),
+            "wo": w(k2, (n_q * hd, d), (n_q * hd) ** -0.5),
+            "w_gate_up": w(k3, (d, 2, cfg.intermediate_dim), s),
+            "w_down": w(k4, (cfg.intermediate_dim, d),
+                        cfg.intermediate_dim ** -0.5),
+        }
+
     params = {
         "embedding": w(keys[0], (cfg.vocab_size, d), 1.0),
-        "layers": {
-            "attn_norm": jnp.ones((l, d), dtype),
-            "ffn_norm": jnp.ones((l, d), dtype),
-            "wqkv": w(keys[1], (l, d, n_kv, g + 2, hd), s),
-            "wo": w(keys[2], (l, n_q * hd, d), (n_q * hd) ** -0.5),
-            "w_gate_up": w(keys[3], (l, d, 2, cfg.intermediate_dim), s),
-            "w_down": w(keys[4], (l, cfg.intermediate_dim, d),
-                        cfg.intermediate_dim ** -0.5),
-        },
+        # one dict per layer: the layer loop is UNROLLED (per-layer cache
+        # arrays update in place; a scanned stacked cache would be copied
+        # wholesale every step — see ops.kv_cache.init_cache)
+        "layers": [make_layer(lk) for lk in layer_keys],
         "final_norm": jnp.ones((d,), dtype),
         "lm_head": w(keys[5], (d, cfg.vocab_size), s),
     }
@@ -138,12 +150,14 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
     QUANT_METHOD_ONLINE_I8I8 and leaves embeddings alone)."""
     from ..ops import quant as quant_ops
 
-    lp = params["layers"]
-    new_layers = {"attn_norm": lp["attn_norm"], "ffn_norm": lp["ffn_norm"]}
-    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
-        q, s = quant_ops.quantize_weight(lp[name], contract_axis=1)
-        new_layers[name + "_q"] = q
-        new_layers[name + "_s"] = s
+    new_layers = []
+    for lp in params["layers"]:
+        nl = {"attn_norm": lp["attn_norm"], "ffn_norm": lp["ffn_norm"]}
+        for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+            q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
+            nl[name + "_q"] = q
+            nl[name + "_s"] = s
+        new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers
     return out
@@ -222,10 +236,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
 
         x = params["embedding"][flat_tokens].astype(compute_dtype)  # [T, D]
 
-        lp = params["layers"]
-
-        def layer(x, xs):
-            p, cache_l, scale_l = xs
+        def layer(x, p, cache_l, scale_l):
             h = rms_norm(x, p["attn_norm"], eps)
             t = x.shape[0]
             g = n_q // n_kv
@@ -268,10 +279,13 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
             down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
-            return x, (cache_l, scale_l)
+            return x, cache_l, scale_l
 
-        x, (kv_cache, kv_scale) = jax.lax.scan(
-            layer, x, (lp, kv_cache, kv_scale))
+        kv_cache = list(kv_cache)
+        kv_scale = list(kv_scale)
+        for li, p in enumerate(params["layers"]):
+            x, kv_cache[li], kv_scale[li] = layer(
+                x, p, kv_cache[li], kv_scale[li])
 
         x = rms_norm(x, params["final_norm"], eps)
 

@@ -44,50 +44,51 @@ def load_hf_safetensors(model_dir: str, cfg: ModelConfig) -> Dict[str, Any]:
     dtype = _np_dtype(cfg.dtype)
     L = cfg.num_layers
 
-    def get(name):
+    def get(name, transpose=False):
         t = tensors[name]
         if t.dtype == np.uint16:  # safetensors numpy view of bf16
             t = t.view(jnp.bfloat16)
-        return np.asarray(t)
-
-    def stack(fmt, transpose=True):
-        ws = [get(fmt.format(i)) for i in range(L)]
-        if transpose:
-            ws = [w.T for w in ws]
-        return jnp.asarray(np.stack(ws), dtype=dtype)
+        t = np.asarray(t)
+        return jnp.asarray(t.T if transpose else t, dtype=dtype)
 
     d, hd = cfg.hidden_dim, cfg.head_dim
     n_q, n_kv = cfg.num_heads, cfg.num_kv_heads
     g = n_q // n_kv
-    # [L, D, H*hd] -> [L, D, KVH, G, hd]: HF q head h = kv*G + g_idx uses
-    # kv head h // G, so a plain reshape lands each GQA group together
-    wq = stack("model.layers.{}.self_attn.q_proj.weight").reshape(
-        L, d, n_kv, g, hd)
-    wk = stack("model.layers.{}.self_attn.k_proj.weight").reshape(
-        L, d, n_kv, 1, hd)
-    wv = stack("model.layers.{}.self_attn.v_proj.weight").reshape(
-        L, d, n_kv, 1, hd)
-    embed = jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype)
+
+    def make_layer(i):
+        # [D, H*hd] -> [D, KVH, G, hd]: HF q head h = kv*G + g_idx uses
+        # kv head h // G, so a plain reshape lands each GQA group together
+        wq = get(f"model.layers.{i}.self_attn.q_proj.weight",
+                 transpose=True).reshape(d, n_kv, g, hd)
+        wk = get(f"model.layers.{i}.self_attn.k_proj.weight",
+                 transpose=True).reshape(d, n_kv, 1, hd)
+        wv = get(f"model.layers.{i}.self_attn.v_proj.weight",
+                 transpose=True).reshape(d, n_kv, 1, hd)
+        return {
+            "attn_norm": get(f"model.layers.{i}.input_layernorm.weight"),
+            "ffn_norm": get(
+                f"model.layers.{i}.post_attention_layernorm.weight"),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=2),
+            "wo": get(f"model.layers.{i}.self_attn.o_proj.weight",
+                      transpose=True),
+            "w_gate_up": jnp.stack(
+                [get(f"model.layers.{i}.mlp.gate_proj.weight",
+                     transpose=True),
+                 get(f"model.layers.{i}.mlp.up_proj.weight",
+                     transpose=True)], axis=1),
+            "w_down": get(f"model.layers.{i}.mlp.down_proj.weight",
+                          transpose=True),
+        }
+
+    embed = get("model.embed_tokens.weight")
     if cfg.tie_word_embeddings or "lm_head.weight" not in tensors:
         lm_head = embed.T
     else:
-        lm_head = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+        lm_head = get("lm_head.weight", transpose=True)
     params = {
         "embedding": embed,
-        "layers": {
-            "attn_norm": stack("model.layers.{}.input_layernorm.weight",
-                               transpose=False),
-            "ffn_norm": stack(
-                "model.layers.{}.post_attention_layernorm.weight",
-                transpose=False),
-            "wqkv": jnp.concatenate([wq, wk, wv], axis=3),
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate_up": jnp.stack(
-                [stack("model.layers.{}.mlp.gate_proj.weight"),
-                 stack("model.layers.{}.mlp.up_proj.weight")], axis=2),
-            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-        },
-        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
+        "layers": [make_layer(i) for i in range(L)],
+        "final_norm": get("model.norm.weight"),
         "lm_head": lm_head,
     }
     logger.info("loaded %d tensors from %s", len(tensors), model_dir)

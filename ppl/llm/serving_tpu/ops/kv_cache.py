@@ -72,25 +72,30 @@ class CacheSpec:
 
 
 def init_cache(spec: CacheSpec):
-    """Allocate the (cache, scale) pair; scale is None when unquantized.
+    """Allocate the (cache, scale) pair as PER-LAYER LISTS of
+    [2, kv_heads, num_slots, head_dim] arrays; scale is None when
+    unquantized.
 
-    Scales use a TRANSPOSED layout [L, 2, KVH, groups, slots]: the slot
+    Per-layer arrays (not one stacked [L, ...] array scanned over) are
+    load-bearing for performance: carrying a stacked cache through
+    ``lax.scan`` makes XLA assemble a fresh ys buffer every step — a
+    full multi-GB cache copy per layer per step. Separate donated arrays
+    update truly in place.
+
+    Scales use a TRANSPOSED layout [2, KVH, groups, slots]: the slot
     axis is minor so the kernels' per-page scale DMA slices a 128-aligned
     minor-dim range (a [.., slots, groups] layout has a sub-128 minor dim,
     which Mosaic DMA rejects).
     """
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
-    cache = jnp.zeros(
-        (spec.num_layers, 2, spec.num_kv_heads, spec.num_slots, spec.shd),
-        dtype=kv_dtype,
-    )
+    cache = [jnp.zeros(
+        (2, spec.num_kv_heads, spec.num_slots, spec.shd), dtype=kv_dtype)
+        for _ in range(spec.num_layers)]
     scale = None
     if spec.quantized:
-        scale = jnp.zeros(
-            (spec.num_layers, 2, spec.num_kv_heads, spec.scale_groups,
-             spec.num_slots),
-            dtype=jnp.bfloat16,
-        )
+        scale = [jnp.zeros(
+            (2, spec.num_kv_heads, spec.scale_groups, spec.num_slots),
+            dtype=jnp.bfloat16) for _ in range(spec.num_layers)]
     return cache, scale
 
 

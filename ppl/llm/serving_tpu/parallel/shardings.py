@@ -12,16 +12,16 @@ latency-hiding scheduler.
 Sharding scheme (Megatron-style, matching the reference's head split —
 KV heads shard across TP, ``llm_engine.cc:122-162``):
 
-    embedding   [V, D]                 P('tp', None)   row (vocab) parallel
-    wqkv        [L, D, KVH, G+2, hd]   P(None, None, 'tp', None, None)
-    wo          [L, H*hd, D]           P(None, 'tp', None)   row parallel
-    w_gate_up   [L, D, 2, I]           P(None, None, None, 'tp')
-    w_down      [L, I, D]              P(None, 'tp', None)   row parallel
-    norms                              replicated
-    lm_head     [D, V]                 P(None, 'tp')   column parallel
-    kv cache    [L, 2, KVH, S, hd]     P(None, None, 'tp', None, None)
-    kv scale    [L, 2, KVH, S, hd/g]   P(None, None, 'tp', None, None)
-    count map   [slots, V]             replicated
+    embedding   [V, D]              P('tp', None)   row (vocab) parallel
+    wqkv        [D, KVH, G+2, hd]   P(None, 'tp', None, None)  per layer
+    wo          [H*hd, D]           P('tp', None)   row parallel
+    w_gate_up   [D, 2, I]           P(None, None, 'tp')
+    w_down      [I, D]              P('tp', None)   row parallel
+    norms                           replicated
+    lm_head     [D, V]              P(None, 'tp')   column parallel
+    kv cache    [2, KVH, S, hd]     P(None, 'tp', None, None)  per layer
+    kv scale    [2, KVH, g, S]      P(None, 'tp', None, None)  per layer
+    count map   [slots, V]          replicated
 
 Constraints: ``num_kv_heads % tp == 0`` and ``intermediate_dim % tp == 0``
 (same kv-head divisibility the reference requires).
@@ -59,42 +59,52 @@ def make_mesh(tp_size: int, devices=None) -> Mesh:
 
 
 _LAYER_SPECS = {
-    "attn_norm": P(None, None),
-    "ffn_norm": P(None, None),
-    # float weights
-    "wqkv": P(None, None, "tp", None, None),
-    "wo": P(None, "tp", None),
-    "w_gate_up": P(None, None, None, "tp"),
-    "w_down": P(None, "tp", None),
+    "attn_norm": P(None),
+    "ffn_norm": P(None),
+    # float weights (per-layer, no leading layer axis)
+    "wqkv": P(None, "tp", None, None),
+    "wo": P("tp", None),
+    "w_gate_up": P(None, None, "tp"),
+    "w_down": P("tp", None),
     # online-i8i8 weights + per-out-channel scales (contraction axis gone)
-    "wqkv_q": P(None, None, "tp", None, None),
-    "wqkv_s": P(None, "tp", None, None),
-    "wo_q": P(None, "tp", None),
-    "wo_s": P(None, None),
-    "w_gate_up_q": P(None, None, None, "tp"),
-    "w_gate_up_s": P(None, None, "tp"),
-    "w_down_q": P(None, "tp", None),
-    "w_down_s": P(None, None),
+    "wqkv_q": P(None, "tp", None, None),
+    "wqkv_s": P("tp", None, None),
+    "wo_q": P("tp", None),
+    "wo_s": P(None),
+    "w_gate_up_q": P(None, None, "tp"),
+    "w_gate_up_s": P(None, "tp"),
+    "w_down_q": P("tp", None),
+    "w_down_s": P(None),
 }
 
 
 def param_partition_specs(cfg: ModelConfig,
                           params: Optional[Dict[str, Any]] = None
                           ) -> Dict[str, Any]:
-    layer_keys = (params["layers"].keys() if params is not None
-                  else ("attn_norm", "ffn_norm", "wqkv", "wo",
-                        "w_gate_up", "w_down"))
+    if params is not None:
+        n_layers = len(params["layers"])
+        layer_keys = params["layers"][0].keys()
+    else:
+        n_layers = cfg.num_layers
+        layer_keys = ("attn_norm", "ffn_norm", "wqkv", "wo",
+                      "w_gate_up", "w_down")
+    layer_spec = {k: _LAYER_SPECS[k] for k in layer_keys}
     return {
         "embedding": P("tp", None),
-        "layers": {k: _LAYER_SPECS[k] for k in layer_keys},
+        "layers": [dict(layer_spec) for _ in range(n_layers)],
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
     }
 
 
 def cache_partition_spec() -> P:
-    # cache [L, 2, KVH, S, hd]: shard kv heads
-    return P(None, None, "tp", None, None)
+    # per-layer cache [2, KVH, S, hd]: shard kv heads
+    return P(None, "tp", None, None)
+
+
+def scale_partition_spec() -> P:
+    # per-layer scale [2, KVH, groups, S]: shard kv heads
+    return P(None, "tp", None, None)
 
 
 def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
@@ -123,10 +133,10 @@ def shard_engine_state(mesh: Mesh, cfg: ModelConfig, spec: CacheSpec,
         return jax.device_put(x, NamedSharding(mesh, pspec))
 
     params = jax.tree.map(put, params, param_partition_specs(cfg, params))
-    kv_cache = put(kv_cache, cache_partition_spec())
-    if kv_scale.ndim == 5:
-        kv_scale = put(kv_scale, cache_partition_spec())
-    else:  # dummy placeholder when unquantized
-        kv_scale = put(kv_scale, P(None, None))
+    kv_cache = [put(c, cache_partition_spec()) for c in kv_cache]
+    if kv_scale and kv_scale[0].ndim == 4:
+        kv_scale = [put(s, scale_partition_spec()) for s in kv_scale]
+    else:  # dummy placeholders when unquantized
+        kv_scale = [put(s, P(None)) for s in kv_scale]
     count_map = put(count_map, P(None, None))
     return params, kv_cache, kv_scale, count_map

@@ -16,21 +16,22 @@ def make_spec(**kw):
 def test_init_shapes():
     spec = make_spec()
     cache, scale = kv_ops.init_cache(spec)
-    # [L, 2, KVH, slots, hd]: head-major so a (head, page) tile is one
-    # contiguous [page_size, hd] block
-    assert cache.shape == (2, 2, 2, 9 * 4, 8)
+    # per-layer list of [2, KVH, slots, hd]: head-major so a (head, page)
+    # tile is one contiguous [page_size, hd] block
+    assert len(cache) == 2
+    assert cache[0].shape == (2, 2, 9 * 4, 8)
     assert scale is None
     qspec = make_spec(quant_bit=8, quant_group=8)
     cache, scale = kv_ops.init_cache(qspec)
-    assert cache.dtype == jnp.int8
+    assert cache[0].dtype == jnp.int8
     # scales slot-minor (transposed) for 128-aligned kernel DMA slices
-    assert scale.shape == (2, 2, 2, 1, 9 * 4)
+    assert scale[0].shape == (2, 2, 1, 9 * 4)
 
 
 def test_storage_head_dim_padding():
     spec = make_spec(storage_head_dim=128)
     cache, _ = kv_ops.init_cache(spec)
-    assert cache.shape[-1] == 128
+    assert cache[0].shape[-1] == 128
     k = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 8))
     pt = jnp.array([[4]], jnp.int32)
     slots = kv_ops.token_slots(pt, jnp.arange(3), jnp.zeros(3, jnp.int32),

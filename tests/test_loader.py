@@ -42,14 +42,15 @@ def test_load_hf_safetensors(hf_checkpoint):
     cfg = ModelConfig.from_hf_config(str(d / "config.json"), dtype="float32")
     params = loader.load_hf_safetensors(str(d), cfg)
     assert params["embedding"].shape == (96, 64)
-    assert params["layers"]["wqkv"].shape == (2, 64, 2, 4, 16)
-    assert params["layers"]["w_gate_up"].shape == (2, 64, 2, 128)
+    assert len(params["layers"]) == 2
+    assert params["layers"][0]["wqkv"].shape == (64, 2, 4, 16)
+    assert params["layers"][0]["w_gate_up"].shape == (64, 2, 128)
     # spot-check numerical equality against the torch weights
     q0 = np.asarray(model.model.layers[0].self_attn.q_proj.weight.detach())
-    got = np.asarray(params["layers"]["wqkv"][0, :, :, :2, :])  # G=2 q cols
+    got = np.asarray(params["layers"][0]["wqkv"][:, :, :2, :])  # G=2 q cols
     np.testing.assert_allclose(got.reshape(64, 4 * 16), q0.T, atol=1e-6)
     k0 = np.asarray(model.model.layers[0].self_attn.k_proj.weight.detach())
-    gotk = np.asarray(params["layers"]["wqkv"][0, :, :, 2, :])
+    gotk = np.asarray(params["layers"][0]["wqkv"][:, :, 2, :])
     np.testing.assert_allclose(gotk.reshape(64, 2 * 16), k0.T, atol=1e-6)
 
 
@@ -90,7 +91,7 @@ def test_loaded_model_matches_hf_forward(hf_checkpoint):
             repetition_penalty=jnp.ones(1), presence_penalty=jnp.zeros(1),
             frequency_penalty=jnp.zeros(1)),
     )
-    out = step(params, cache, jnp.zeros((2, 1), jnp.float32),
+    out = step(params, cache, [jnp.zeros((1,), jnp.float32) for _ in range(2)],
                jnp.zeros((1, 1), jnp.int32), inp, jax.random.PRNGKey(0))
     with torch.no_grad():
         hf_logits = model(torch.tensor(seq[None])).logits[0, -1].numpy()

@@ -42,40 +42,40 @@ def hf_model():
 
 
 def hf_to_params(model):
-    """Convert HF torch weights to the stacked fused pytree."""
+    """Convert HF torch weights to the per-layer fused pytree."""
     sd = {k: np.asarray(v.detach(), dtype=np.float32)
           for k, v in model.state_dict().items()}
-    L = CFG.num_layers
-
-    def stack(fmt, transpose=True):
-        ws = [sd[fmt.format(i)] for i in range(L)]
-        if transpose:
-            ws = [w.T for w in ws]  # torch Linear stores [out, in]
-        return jnp.asarray(np.stack(ws))
-
     d, hd = CFG.hidden_dim, CFG.head_dim
     n_kv, g = CFG.num_kv_heads, CFG.num_heads // CFG.num_kv_heads
-    wq = stack("model.layers.{}.self_attn.q_proj.weight").reshape(
-        L, d, n_kv, g, hd)
-    wk = stack("model.layers.{}.self_attn.k_proj.weight").reshape(
-        L, d, n_kv, 1, hd)
-    wv = stack("model.layers.{}.self_attn.v_proj.weight").reshape(
-        L, d, n_kv, 1, hd)
+
+    def get(name, transpose=True):
+        w = sd[name]
+        return jnp.asarray(w.T if transpose else w)
+
+    def make_layer(i):
+        wq = get(f"model.layers.{i}.self_attn.q_proj.weight").reshape(
+            d, n_kv, g, hd)
+        wk = get(f"model.layers.{i}.self_attn.k_proj.weight").reshape(
+            d, n_kv, 1, hd)
+        wv = get(f"model.layers.{i}.self_attn.v_proj.weight").reshape(
+            d, n_kv, 1, hd)
+        return {
+            "attn_norm": get(f"model.layers.{i}.input_layernorm.weight",
+                             transpose=False),
+            "ffn_norm": get(
+                f"model.layers.{i}.post_attention_layernorm.weight",
+                transpose=False),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=2),
+            "wo": get(f"model.layers.{i}.self_attn.o_proj.weight"),
+            "w_gate_up": jnp.stack(
+                [get(f"model.layers.{i}.mlp.gate_proj.weight"),
+                 get(f"model.layers.{i}.mlp.up_proj.weight")], axis=1),
+            "w_down": get(f"model.layers.{i}.mlp.down_proj.weight"),
+        }
+
     return {
         "embedding": jnp.asarray(sd["model.embed_tokens.weight"]),
-        "layers": {
-            "attn_norm": stack("model.layers.{}.input_layernorm.weight",
-                               transpose=False),
-            "ffn_norm": stack(
-                "model.layers.{}.post_attention_layernorm.weight",
-                transpose=False),
-            "wqkv": jnp.concatenate([wq, wk, wv], axis=3),
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "w_gate_up": jnp.stack(
-                [stack("model.layers.{}.mlp.gate_proj.weight"),
-                 stack("model.layers.{}.mlp.up_proj.weight")], axis=2),
-            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-        },
+        "layers": [make_layer(i) for i in range(CFG.num_layers)],
         "final_norm": jnp.asarray(sd["model.norm.weight"]),
         "lm_head": jnp.asarray(sd["lm_head.weight"].T),
     }
@@ -141,7 +141,7 @@ def test_prefill_matches_hf(hf_model, ref_logits):
     params = hf_to_params(hf_model)
     step = llama.make_step_fn(CFG, SPEC, return_logits=True)
     cache, _ = kv_ops.init_cache(SPEC)
-    scale = jnp.zeros((SPEC.num_layers, 1), jnp.float32)
+    scale = [jnp.zeros((1,), jnp.float32) for _ in range(SPEC.num_layers)]
     cm = jnp.zeros((1, 1), jnp.int32)
     inp = make_prefill_input(seq, pages=[0, 1], qp=32, kvp=4)
     out = step(params, cache, scale, cm, inp, jax.random.PRNGKey(0))
@@ -156,7 +156,7 @@ def test_prefill_then_decode_matches_hf(hf_model, ref_logits):
     params = hf_to_params(hf_model)
     step = llama.make_step_fn(CFG, SPEC, return_logits=True)
     cache, _ = kv_ops.init_cache(SPEC)
-    scale = jnp.zeros((SPEC.num_layers, 1), jnp.float32)
+    scale = [jnp.zeros((1,), jnp.float32) for _ in range(SPEC.num_layers)]
     cm = jnp.zeros((1, 1), jnp.int32)
 
     # prefill the first 10 tokens, then decode tokens 10..19 one by one,
@@ -183,7 +183,7 @@ def test_prefix_hit_prefill_matches(hf_model, ref_logits):
     params = hf_to_params(hf_model)
     step = llama.make_step_fn(CFG, SPEC, return_logits=True)
     cache, _ = kv_ops.init_cache(SPEC)
-    scale = jnp.zeros((SPEC.num_layers, 1), jnp.float32)
+    scale = [jnp.zeros((1,), jnp.float32) for _ in range(SPEC.num_layers)]
     cm = jnp.zeros((1, 1), jnp.int32)
     # first 16 tokens = one full page "cached" via a normal prefill
     inp = make_prefill_input(seq[:16], pages=[0, 1], qp=16, kvp=4)
@@ -203,7 +203,7 @@ def test_mixed_batch_decode_and_prefill(hf_model, ref_logits):
     params = hf_to_params(hf_model)
     step = llama.make_step_fn(CFG, SPEC, return_logits=True)
     cache, _ = kv_ops.init_cache(SPEC)
-    scale = jnp.zeros((SPEC.num_layers, 1), jnp.float32)
+    scale = [jnp.zeros((1,), jnp.float32) for _ in range(SPEC.num_layers)]
     cm = jnp.zeros((1, 1), jnp.int32)
 
     # seq A = seq[:10] on pages [0,1]; prefill it alone first

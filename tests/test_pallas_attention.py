@@ -239,10 +239,10 @@ def test_full_model_step_with_pallas_interpret():
                                        jnp.zeros(4, jnp.int32), 16)
             lc, _ = kv_ops.append_kv(cache[layer], None, hist, hist, slots,
                                      spec)
-            cache = cache.at[layer].set(lc)
+            cache[layer] = lc
         step = llama.make_step_fn(cfg, spec, return_logits=True,
                                   attn_impl=impl)
-        out = step(params, cache, jnp.zeros((2, 1), jnp.float32),
+        out = step(params, cache, [jnp.zeros((1,), jnp.float32) for _ in range(2)],
                    jnp.zeros((1, 1), jnp.int32), inp, jax.random.PRNGKey(0))
         outs[impl] = np.asarray(out.logits)
     np.testing.assert_allclose(outs["pallas_interpret"], outs["xla"],

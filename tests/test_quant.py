@@ -107,7 +107,7 @@ def run_model(spec, quant_method):
                               quant_method=quant_method)
     cache, scale = kv_ops.init_cache(spec)
     if scale is None:
-        scale = jnp.zeros((2, 1), jnp.float32)
+        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
     cm = jnp.zeros((1, 1), jnp.int32)
     seq = (np.arange(20) * 7 + 3) % 250
     out = step(params, cache, scale, cm, prefill_input(seq, spec),
@@ -153,7 +153,7 @@ def test_i8i8_plus_int8_kv_e2e_decode():
         quant_method="online_i8i8",
         token_buckets=(32, 64, 128, 256), batch_buckets=(4, 8, 16))
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
-    assert engine.kv_cache.dtype == jnp.int8
+    assert engine.kv_cache[0].dtype == jnp.int8
     conn = LocalConnection()
     gen = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(), conn,
                        kv_max)
@@ -183,7 +183,8 @@ def test_quantized_tp_sharding():
     mesh = shardings.make_mesh(4)
     cache, _ = kv_ops.init_cache(spec)
     p, c, s, cm = shardings.shard_engine_state(
-        mesh, cfg, spec, params, cache, jnp.zeros((2, 1), jnp.float32),
+        mesh, cfg, spec, params, cache,
+        [jnp.zeros((1,), jnp.float32) for _ in range(2)],
         jnp.zeros((1, 1), jnp.int32))
-    assert p["layers"]["wqkv_q"].sharding.spec[2] == "tp"
-    assert p["layers"]["wqkv_s"].sharding.spec[1] == "tp"
+    assert p["layers"][0]["wqkv_q"].sharding.spec[1] == "tp"
+    assert p["layers"][0]["wqkv_s"].sharding.spec[0] == "tp"
