@@ -55,6 +55,7 @@ def main():
         kv_cache_max_tokens=kv_tokens,
         token_buckets=(prompt_len, 2 * prompt_len, 8192),
         batch_buckets=(batch, 4 * batch),
+        multi_step=16,
     )
     gen_cfg = GeneratorConfig(
         max_running_batch=4 * batch, max_prefill_batch=batch,
@@ -81,7 +82,7 @@ def main():
 
     # warmup with the SAME request count/shapes as the measured run so
     # every (Bd, Bp, Qp, KVP) bucket is compiled before measurement
-    warm = make_reqs(10_000, batch, out_len=4)
+    warm = make_reqs(10_000, batch, out_len=20)
     conn.set_wanted(len(warm))
     for r in warm:
         gen.process(r)

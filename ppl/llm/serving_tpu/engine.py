@@ -192,16 +192,16 @@ class LLMEngine:
         prefill_idx = [i for i, t in enumerate(tasks)
                        if len(t.next_tokens) > 1]
 
-        # decode-only phases run blocks of N on-device steps (largest
-        # power of two <= min rest budget, bounding compile variants and
-        # length-finish waste)
+        # Decode-only phases always run the FULL block size: the block
+        # program is python-unrolled (no lax.scan — see llama.multi_step),
+        # so each distinct N is an expensive compile; one variant per
+        # bucket beats a power-of-two ladder. Rows finishing mid-block
+        # waste at most N-1 steps of compute (their later tokens are
+        # discarded by the generator; their KV writes land in pages they
+        # already own or the trash page).
         n_steps = 1
         if self._multi_step > 1 and not prefill_idx and tasks:
-            budget = min(t.rest_iters for t in tasks)
             n_steps = self._multi_step
-            while n_steps > max(budget, 1):
-                n_steps //= 2
-            n_steps = max(n_steps, 1)
 
         bd = _bucket(max(len(decode_idx), 1), self.batch_buckets)
         bp = _bucket(len(prefill_idx), _PREFILL_ROW_BUCKETS)

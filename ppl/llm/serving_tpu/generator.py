@@ -35,8 +35,8 @@ from .engine import LLMEngine, TaskState
 from .profiler import WorkerProfiler, print_profiler
 from .request import FinishFlag, Request, Response
 from .tokenizer import Tokenizer
-from .utils import (IndexManager, PageManager, PrefixCacheManager,
-                    RequestScheduler, StreamDetokenizer, TimingGuard, now_us)
+from .utils import (RequestScheduler, StreamDetokenizer, TimingGuard,
+                    now_us)
 from .utils.hashing import hash_page
 from .utils.index_manager import INVALID_INDEX
 

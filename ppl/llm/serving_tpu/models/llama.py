@@ -339,20 +339,26 @@ def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
         assert inp.prefill_tokens.shape[0] == 0, (
             "multi-step blocks are decode-only")
 
-        def body(carry, i):
-            kv_cache, kv_scale, count_map, tokens, pos, ctx = carry
+        # PYTHON-unrolled, not lax.scan: a scanned carry holding the KV
+        # cache ping-pongs between two buffers, costing a full cache copy
+        # per iteration (measured: block step time scales with pool size,
+        # 35 ms/step at a 6 GB pool vs 0.6 ms at 1 GB). Straight-line
+        # scatters on donated buffers update in place.
+        tokens, pos, ctx = inp.decode_tokens, inp.decode_pos, inp.context_len
+        toks_list, lps_list = [], []
+        for i in range(num_steps):
             it = inp._replace(decode_tokens=tokens, decode_pos=pos,
                               context_len=ctx)
             out = step(params, kv_cache, kv_scale, count_map, it,
                        jax.random.fold_in(rng, i))
-            carry = (out.kv_cache, out.kv_scale, out.count_map,
-                     out.tokens, pos + 1, ctx + 1)
-            return carry, (out.tokens, out.logprobs)
-
-        init = (kv_cache, kv_scale, count_map, inp.decode_tokens,
-                inp.decode_pos, inp.context_len)
-        (kv_cache, kv_scale, count_map, *_), (toks, lps) = jax.lax.scan(
-            body, init, jnp.arange(num_steps, dtype=jnp.int32))
+            kv_cache, kv_scale, count_map = (out.kv_cache, out.kv_scale,
+                                             out.count_map)
+            tokens = out.tokens
+            pos, ctx = pos + 1, ctx + 1
+            toks_list.append(out.tokens)
+            lps_list.append(out.logprobs)
+        toks = jnp.stack(toks_list)
+        lps = jnp.stack(lps_list)
         return toks, lps, kv_cache, kv_scale, count_map
 
     return multi_step

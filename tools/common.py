@@ -45,6 +45,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-tokens-scale", type=float, default=0.94)
     p.add_argument("--kv-cache-max-tokens", type=int, default=0,
                    help="override auto KV pool sizing")
+    p.add_argument("--multi-step", type=int, default=8,
+                   help="decode-block size: N on-device steps per host "
+                        "round trip (1 = per-step loop)")
 
 
 def add_generator_args(p: argparse.ArgumentParser) -> None:
@@ -109,6 +112,7 @@ def build_configs(args):
         max_running_batch=args.max_running_batch,
         enable_penalty=args.enable_penalty,
         quant_method=args.quant_method,
+        multi_step=args.multi_step,
     )
     max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch
     gen_cfg = GeneratorConfig(
