@@ -81,12 +81,16 @@ def main():
                 for i in range(n)]
 
     # warmup with the SAME request count/shapes as the measured run so
-    # every (Bd, Bp, Qp, KVP) bucket is compiled before measurement
-    warm = make_reqs(10_000, batch, out_len=20)
+    # every (Bd, Bp, Qp, KVP) bucket is compiled before measurement.
+    # out_len must cover the full KVP range the measured run reaches.
+    t_warm = time.perf_counter()
+    warm = make_reqs(10_000, batch, out_len=gen_len)
     conn.set_wanted(len(warm))
     for r in warm:
         gen.process(r)
     conn.wait(timeout=1800)
+    print(f"[bench] warmup {time.perf_counter() - t_warm:.1f}s",
+          file=sys.stderr, flush=True)
     time.sleep(0.5)
 
     # measured run
@@ -100,6 +104,7 @@ def main():
         gen.process(r)
     ok = conn.wait(timeout=1800)
     elapsed = time.perf_counter() - t_start
+    print(f"[bench] measured {elapsed:.2f}s", file=sys.stderr, flush=True)
     gen.shutdown()
     if not ok:
         print(json.dumps({"metric": "output_tokens_per_sec_per_chip",

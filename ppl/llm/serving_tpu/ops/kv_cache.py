@@ -146,31 +146,49 @@ def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     k, v: [T, kv_heads, head_dim] in compute dtype
     slots: i32[T] (padding tokens -> trash-page slots)
     """
-    # .at[0, :, slots]: the scalar 0 and the index array are both advanced
-    # indices separated by a slice, so they broadcast and land FIRST —
-    # the update shape is [T, kv_heads, head_dim], matching k/v directly.
-    if spec.shd != spec.head_dim:
-        pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
-        k_store = jnp.pad(k, pad)
-        v_store = jnp.pad(v, pad)
-    else:
-        k_store, v_store = k, v
+    # FLAT-VIEW row scatter: scatter into a [2*KVH*S, head_dim] reshape
+    # with computed row indices. A multi-axis `.at[0, :, slots]` scatter
+    # makes XLA prefer a non-default operand layout and insert a FULL
+    # cache-layer relayout copy per call (~1.2 ms per 262 MB layer on
+    # v5e, traced) — the dominant cost of a decode step. The flat form
+    # scatters whole rows in the native layout (reshape is a bitcast).
+    kvh = spec.num_kv_heads
+    s_slots = cache_layer.shape[2]
+    t = slots.shape[0]
+
+    def row_ids():
+        # [2, KVH, T]: row (c, h, t) = ((c * KVH) + h) * S + slots[t]
+        ch = jnp.arange(2 * kvh, dtype=slots.dtype)[:, None] * s_slots
+        return (ch + slots[None, :]).reshape(-1)
+
+    def pack(a, b):
+        # k [T, KVH, shd], v [T, KVH, shd] -> [2*KVH*T, shd] in row order
+        return jnp.stack([a, b]).transpose(0, 2, 1, 3).reshape(-1,
+                                                               a.shape[-1])
+
     if spec.quantized:
         qk, sk = quantize_kv(k, spec.quant_group)
         qv, sv = quantize_kv(v, spec.quant_group)
         if spec.shd != spec.head_dim:
+            pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
             qk = jnp.pad(qk, pad)
             qv = jnp.pad(qv, pad)
-        cache_layer = cache_layer.at[0, :, slots].set(qk)
-        cache_layer = cache_layer.at[1, :, slots].set(qv)
+        flat = cache_layer.reshape(2 * kvh * s_slots, spec.shd)
+        flat = flat.at[row_ids()].set(pack(qk, qv))
+        cache_layer = flat.reshape(cache_layer.shape)
         # transposed scale layout: scatter on the minor slot axis;
         # update shape is [T, kv_heads, groups]
         scale_layer = scale_layer.at[0, :, :, slots].set(sk)
         scale_layer = scale_layer.at[1, :, :, slots].set(sv)
     else:
+        if spec.shd != spec.head_dim:
+            pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
         dt = cache_layer.dtype
-        cache_layer = cache_layer.at[0, :, slots].set(k_store.astype(dt))
-        cache_layer = cache_layer.at[1, :, slots].set(v_store.astype(dt))
+        flat = cache_layer.reshape(2 * kvh * s_slots, spec.shd)
+        flat = flat.at[row_ids()].set(pack(k.astype(dt), v.astype(dt)))
+        cache_layer = flat.reshape(cache_layer.shape)
     return cache_layer, scale_layer
 
 

@@ -105,7 +105,25 @@ def sample_top_k_top_p(
     scaled = logits.astype(jnp.float32) / temp[:, None]
 
     if top_k_cap and top_k_cap < v:
-        cand_logits, cand_idx = jax.lax.top_k(scaled, top_k_cap)  # sorted
+        # approx_max_k is the TPU-native top-k (lax.top_k lowers to a
+        # sort-based custom call measured at ~2.2 ms/step for [64, 32k]).
+        # The approximation may rarely drop the TRUE max, which would
+        # break greedy determinism — patch the exact argmax into the last
+        # candidate slot whenever it's missing.
+        cand_logits, cand_idx = jax.lax.approx_max_k(
+            scaled, top_k_cap, recall_target=0.95)
+        arg = jnp.argmax(scaled, axis=-1)                   # exact, cheap
+        arg_val = jnp.take_along_axis(scaled, arg[:, None], axis=-1)[:, 0]
+        present = jnp.any(cand_idx == arg[:, None], axis=-1)
+        cand_idx = cand_idx.at[:, -1].set(
+            jnp.where(present, cand_idx[:, -1], arg))
+        cand_logits = cand_logits.at[:, -1].set(
+            jnp.where(present, cand_logits[:, -1], arg_val))
+        # re-sort so rank masks stay correct (approx output is sorted, but
+        # the patched slot may belong earlier)
+        order = jnp.argsort(-cand_logits, axis=-1)
+        cand_logits = jnp.take_along_axis(cand_logits, order, axis=-1)
+        cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
         # denominator over the FULL vocab so logprobs stay exact
         lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
         cand_logprobs = cand_logits - lse

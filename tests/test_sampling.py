@@ -112,3 +112,25 @@ class TestPenalties:
         p = make_params(2, presence_penalty=jnp.full(2, 1.0))
         out = S.apply_penalties(logits, cm, jnp.array([0, 1]), p)
         assert out[0, 1] == -1.0 and out[1, 1] == 0.0
+
+
+def test_top_k_cap_greedy_exact():
+    """approx_max_k path must stay EXACT for greedy (argmax patched in)."""
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(key, (64, 32000)) * 3
+    p = make_params(64, do_sample=jnp.zeros(64, bool))
+    t_full, lp_full = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0),
+                                           top_k_cap=0)
+    t_cap, lp_cap = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0),
+                                         top_k_cap=256)
+    np.testing.assert_array_equal(t_cap, t_full)
+    np.testing.assert_allclose(lp_cap, lp_full, rtol=1e-4)
+
+
+def test_top_k_cap_sampling_support():
+    """cap path respects per-row top_k restriction."""
+    logits = jnp.tile(jnp.array([5.0, 4.0, 3.0] + [0.0] * 997), (128, 1))
+    p = make_params(128, top_k=jnp.full(128, 2, jnp.int32))
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(1),
+                                   top_k_cap=64)
+    assert set(np.asarray(toks).tolist()) <= {0, 1}
