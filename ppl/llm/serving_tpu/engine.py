@@ -140,6 +140,7 @@ class LLMEngine:
             sampling_ops.clear_count_slots, donate_argnums=(0,))
         self._multi_step = max(1, resource_cfg.multi_step)
         self._multi_cache: Dict[int, Any] = {}
+        self._last_final_tokens = None  # device [B_bucket], block feedback
 
         self.batch_buckets = tuple(resource_cfg.batch_buckets)
         self.token_buckets = tuple(resource_cfg.token_buckets)
@@ -294,6 +295,20 @@ class LLMEngine:
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """Execute a batch plan. All hosts of a multi-host mesh must call
         this with the identical plan, in the same order (lockstep)."""
+        return self.fetch_plan_result(
+            self.dispatch_plan(plan, profiler=profiler), profiler=profiler)
+
+    def dispatch_plan(self, plan: Dict[str, Any], profiler=None
+                      ) -> Dict[str, Any]:
+        """Asynchronously dispatch a plan; returns a handle for
+        :meth:`fetch_plan_result`.
+
+        When ``plan["feed_device_tokens"]`` is set, the decode tokens come
+        from the previous block's final sampled tokens ON DEVICE (no host
+        round trip) — the mechanism behind speculative block pipelining:
+        the generator dispatches block k+1 before fetching block k, so the
+        host-side fetch/H2D latency overlaps device compute.
+        """
         t0 = time.perf_counter_ns()
         a = plan["arrays"]
         n_steps = plan["n_steps"]
@@ -325,6 +340,8 @@ class LLMEngine:
                 frequency_penalty=jnp.asarray(a["freq_pen"]),
             ),
         )
+        if plan.get("feed_device_tokens") and self._last_final_tokens is not None:
+            inp = inp._replace(decode_tokens=self._last_final_tokens)
         rng = jax.random.fold_in(self._rng, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter_ns()
@@ -335,39 +352,48 @@ class LLMEngine:
                 self.count_map = self._get_multi_step(n_steps)(
                     self._params, self.kv_cache, self.kv_scale,
                     self.count_map, inp, rng)
-            toks_dev.copy_to_host_async()
-            lps_dev.copy_to_host_async()
-            t2 = time.perf_counter_ns()
-            tokens = np.asarray(toks_dev)      # [N, B_bucket]
-            logprobs = np.asarray(lps_dev)
+            self._last_final_tokens = toks_dev[-1]
         else:
             out = self._jit_step(self._params, self.kv_cache, self.kv_scale,
                                  self.count_map, inp, rng)
             self.kv_cache = out.kv_cache
             self.kv_scale = out.kv_scale
             self.count_map = out.count_map
-            # issue the D2H copies immediately: on tunneled devices a
-            # blocking fetch costs ~30x more than an async-then-consume
-            out.tokens.copy_to_host_async()
-            out.logprobs.copy_to_host_async()
-            t2 = time.perf_counter_ns()
-            tokens = np.asarray(out.tokens)[None]      # [1, B_bucket]
-            logprobs = np.asarray(out.logprobs)[None]
-        t3 = time.perf_counter_ns()
+            toks_dev = out.tokens[None]
+            lps_dev = out.logprobs[None]
+            self._last_final_tokens = out.tokens
+        # issue the D2H copies immediately: on tunneled devices a blocking
+        # fetch costs ~30x more than an async-then-consume
+        toks_dev.copy_to_host_async()
+        lps_dev.copy_to_host_async()
+        t2 = time.perf_counter_ns()
 
         if profiler is not None:
             c = profiler.current
             c.set_input_cost = (t1 - t0) // 1000
             c.model_forward_cost = (t2 - t1) // 1000
-            c.choose_token_cost = (t3 - t2) // 1000
+        return {"toks_dev": toks_dev, "lps_dev": lps_dev,
+                "n_steps": n_steps, "bd": bd, "n_tasks": plan["n_tasks"],
+                "decode_idx": decode_idx, "prefill_idx": prefill_idx}
 
+    def fetch_plan_result(self, handle: Dict[str, Any], profiler=None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        t2 = time.perf_counter_ns()
+        tokens = np.asarray(handle["toks_dev"])        # [N, B_bucket]
+        logprobs = np.asarray(handle["lps_dev"])
+        t3 = time.perf_counter_ns()
+        if profiler is not None:
+            profiler.current.choose_token_cost = (t3 - t2) // 1000
+
+        n_steps = handle["n_steps"]
+        bd = handle["bd"]
         # reorder bucket rows back to task order; result [n_steps, tasks]
-        out_tokens = np.zeros((n_steps, plan["n_tasks"]), np.int32)
-        out_logprobs = np.zeros((n_steps, plan["n_tasks"]), np.float32)
-        for row, i in enumerate(decode_idx):
+        out_tokens = np.zeros((n_steps, handle["n_tasks"]), np.int32)
+        out_logprobs = np.zeros((n_steps, handle["n_tasks"]), np.float32)
+        for row, i in enumerate(handle["decode_idx"]):
             out_tokens[:, i] = tokens[:, row]
             out_logprobs[:, i] = logprobs[:, row]
-        for prow, i in enumerate(prefill_idx):
+        for prow, i in enumerate(handle["prefill_idx"]):
             out_tokens[:, i] = tokens[:, bd + prow]
             out_logprobs[:, i] = logprobs[:, bd + prow]
         return out_tokens, out_logprobs

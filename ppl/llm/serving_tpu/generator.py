@@ -23,6 +23,7 @@ worker genuinely overlaps the forward pass.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import queue
 import threading
@@ -119,6 +120,7 @@ class LLMGenerator:
         self._decode_state: Dict[int, StreamDetokenizer] = {}
         self._decode_future: Optional[Future] = None
 
+        self._spec_handle = None  # (engine handle, task snapshot)
         self._wake = threading.Condition()
         self._active = True
         self._thread = threading.Thread(target=self._thread_func,
@@ -448,7 +450,8 @@ class LLMGenerator:
             prof = self.profiler
             with TimingGuard() as prep_t:
                 while True:
-                    if (res.running_batch >= cfg.max_running_batch
+                    if (self._spec_handle is not None
+                            or res.running_batch >= cfg.max_running_batch
                             or res.prefill_batch >= cfg.max_prefill_batch
                             or self._cooldown > 0):
                         break
@@ -468,12 +471,43 @@ class LLMGenerator:
 
             tasks = self._tid_list
             try:
-                plan = self.engine.build_plan(tasks)
-                if self._plan_channel is not None:
-                    plan = self._plan_channel(plan)
-                tokens, logprobs = self.engine.run_plan(plan, profiler=prof)
+                if self._spec_handle is not None:
+                    # consume the speculatively dispatched block (same
+                    # task membership by construction)
+                    handle, tasks = self._spec_handle
+                    self._spec_handle = None
+                else:
+                    plan = self.engine.build_plan(tasks)
+                    if self._plan_channel is not None:
+                        plan = self._plan_channel(plan)
+                    handle = self.engine.dispatch_plan(plan, profiler=prof)
+                # speculative pipelining: while this block runs on device,
+                # dispatch the NEXT decode block with device-fed tokens so
+                # the fetch/H2D host latency overlaps device compute. Only
+                # when membership cannot change: decode-only block, empty
+                # queue, no pending cancels, and every task outlives the
+                # current block (no LENGTH finishes inside it).
+                n = handle["n_steps"]
+                if (n > 1 and not handle["prefill_idx"]
+                        and self.sched.get_pending_size() == 0
+                        and self._finished.empty()
+                        and all(t.rest_iters > n and not t.early_stopping
+                                for t in tasks)):
+                    adv = [dataclasses.replace(
+                        t, start_pos=t.start_pos + n,
+                        rest_iters=t.rest_iters - n,
+                        next_tokens=[0]) for t in tasks]
+                    spec_plan = self.engine.build_plan(adv)
+                    spec_plan["feed_device_tokens"] = True
+                    if self._plan_channel is not None:
+                        spec_plan = self._plan_channel(spec_plan)
+                    self._spec_handle = (
+                        self.engine.dispatch_plan(spec_plan), tasks)
+                tokens, logprobs = self.engine.fetch_plan_result(
+                    handle, profiler=prof)
             except Exception as e:  # engine failure fails all running tasks
                 logger.exception("engine execute failed")
+                self._spec_handle = None
                 if self._decode_future is not None:
                     self._decode_future.result()
                     self._decode_future = None
@@ -496,6 +530,10 @@ class LLMGenerator:
                 for n in range(tokens.shape[0]):
                     for i, t in enumerate(tasks):
                         if t.tid in finished_in_block:
+                            continue
+                        if t.tid not in self._tid_map:
+                            # canceled between a speculative dispatch and
+                            # this processing pass: drop its tokens
                             continue
                         gen_token = int(tokens[n, i])
                         logprob = float(logprobs[n, i])

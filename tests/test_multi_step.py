@@ -81,3 +81,34 @@ def test_multi_step_resources_exact():
         assert len(conn.tokens[1]) == 20
     finally:
         gen.shutdown()
+
+
+def test_speculative_pipeline_equivalence():
+    """ignore_eos decode (the speculation-eligible shape) must produce
+    identical tokens with pipelining active vs multi_step=1."""
+    gen1, conn1 = build_with_multi(1)
+    gen8, conn8 = build_with_multi(8)
+    try:
+        # early_stopping=False + long gen => speculation triggers
+        reqs = [req(i, prompt=f"pipeline {i}", gen_len=40) for i in range(3)]
+        run(gen1, conn1, list(reqs))
+        reqs = [req(i, prompt=f"pipeline {i}", gen_len=40) for i in range(3)]
+        run(gen8, conn8, list(reqs))
+        for i in range(3):
+            assert conn1.tokens[i] == conn8.tokens[i], i
+    finally:
+        gen1.shutdown()
+        gen8.shutdown()
+
+
+def test_speculation_not_used_with_early_stopping():
+    """Stop-token-eligible requests never speculate (guard condition) and
+    still finish correctly."""
+    gen, conn = build_with_multi(8)
+    try:
+        r = req(1, gen_len=30, early_stopping=True)
+        r.stop_tokens = {255}  # byte unlikely early; exercises the guard
+        run(gen, conn, [r])
+        assert 1 <= len(conn.tokens[1]) <= 30
+    finally:
+        gen.shutdown()
