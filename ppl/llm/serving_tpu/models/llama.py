@@ -315,6 +315,89 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     return step
 
 
+def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
+                quant_method: str = "none", attn_impl: str = "xla"):
+    """Teacher-forced token NLLs for perplexity evaluation.
+
+    The accuracy harness behind the <=0.1 perplexity-delta target
+    (BASELINE.md): runs the SAME serving forward (one prefill row over the
+    paged cache, same kernels/quantization paths as serving) but computes
+    logits at every position. Returns per-position NLL of the next token
+    and a validity mask.
+    """
+    from ..ops import quant as quant_ops
+    from ..ops.pallas import paged_attention as pallas_attn
+
+    n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps, theta = cfg.norm_eps, cfg.rope_theta
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    use_i8i8 = quant_method == "online_i8i8"
+    use_pallas = attn_impl in ("pallas", "pallas_interpret")
+    interpret = attn_impl == "pallas_interpret"
+
+    def matmul(h, p, name):
+        if use_i8i8:
+            return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
+        if p[name].ndim == 2:
+            return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
+        letters = "kcmn"[: p[name].ndim - 1]
+        return jnp.einsum(f"td,d{letters}->t{letters}", h, p[name],
+                          preferred_element_type=jnp.float32)
+
+    def nll(params, kv_cache, kv_scale, tokens, n_valid, page_table):
+        """tokens i32[L] (padded), n_valid i32[], page_table i32[1, P] ->
+        (nll f32[L-1], mask bool[L-1])."""
+        L = tokens.shape[0]
+        pos = jnp.arange(L, dtype=jnp.int32)
+        rows = jnp.zeros(L, jnp.int32)
+        slots = kv_ops.token_slots(page_table, pos, rows, spec.page_size)
+        slots = jnp.where(pos < n_valid, slots,
+                          spec.trash_page * spec.page_size)
+        x = params["embedding"][tokens].astype(compute_dtype)
+        start = jnp.zeros(1, jnp.int32)
+        new_len = jnp.asarray(n_valid)[None]
+        for li, p in enumerate(params["layers"]):
+            h = rms_norm(x, p["attn_norm"], eps)
+            g = n_q // n_kv
+            qkv = matmul(h, p, "wqkv").astype(compute_dtype)
+            q = qkv[:, :, :g, :].reshape(L, n_q, hd)
+            k = qkv[:, :, g, :]
+            v = qkv[:, :, g + 1, :]
+            q = apply_rope(q, pos, theta)
+            k = apply_rope(k, pos, theta)
+            cache_l, scale_l = kv_ops.append_kv(
+                kv_cache[li], kv_scale[li] if spec.quantized else None,
+                k, v, slots, spec)
+            kv_cache[li] = cache_l
+            sl = scale_l if spec.quantized else None
+            if use_pallas:
+                attn = pallas_attn.paged_prefill_attention(
+                    q[None], cache_l, sl, page_table, start, new_len, spec,
+                    interpret=interpret)[0]
+            else:
+                attn = attn_ops.prefill_attention_ref(
+                    q[None], cache_l, sl, page_table, start, new_len,
+                    spec)[0]
+            o = matmul(attn.reshape(L, n_q * hd), p, "wo")
+            x = x + o.astype(compute_dtype)
+            h = rms_norm(x, p["ffn_norm"], eps)
+            gate_up = matmul(h, p, "w_gate_up")
+            act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
+            down = matmul(act.astype(compute_dtype), p, "w_down")
+            x = x + down.astype(compute_dtype)
+        x = rms_norm(x, params["final_norm"], eps)
+        logits = jnp.dot(x, params["lm_head"],
+                         preferred_element_type=jnp.float32)     # [L, V]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        targets = tokens[1:]
+        nll_all = -jnp.take_along_axis(
+            logprobs[:-1], targets[:, None], axis=-1)[:, 0]
+        mask = jnp.arange(L - 1) < (n_valid - 1)
+        return nll_all, mask
+
+    return nll
+
+
 def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
                        **step_kwargs):
     """N decode steps in ONE jitted program (``lax.scan``), sampled tokens
