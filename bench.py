@@ -20,6 +20,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# Persistent compilation cache: the unrolled multi-step decode programs
+# take minutes to compile; cache them across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
@@ -35,6 +43,9 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth, GB/s
 
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
+    # BENCH_CONFIG=bf16 (default) | i8i8 (int8 weights + int8 KV)
+    #   | i8i8_w (int8 weights, bf16 KV) | kv8 (bf16 weights, int8 KV)
+    variant = os.environ.get("BENCH_CONFIG", "bf16")
     if on_tpu:
         model_cfg = ModelConfig(
             hidden_dim=2048, intermediate_dim=5632, num_layers=22,
@@ -49,6 +60,9 @@ def main():
             cache_mode=1, page_size=16, dtype="float32")
         batch, prompt_len, gen_len = 8, 16, 16
         kv_tokens = 4096
+    if variant in ("i8i8", "kv8"):
+        model_cfg.cache_quant_bit = 8
+        model_cfg.cache_quant_group = 8
 
     resource_cfg = ResourceConfig(
         model_format="random",
@@ -56,6 +70,9 @@ def main():
         token_buckets=(prompt_len, 2 * prompt_len, 8192),
         batch_buckets=(batch, 4 * batch),
         multi_step=16,
+        quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
+                      else "none"),
+        quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
     )
     gen_cfg = GeneratorConfig(
         max_running_batch=4 * batch, max_prefill_batch=batch,
@@ -63,6 +80,11 @@ def main():
         max_input_tokens_per_request=4096,
         max_output_tokens_per_request=4096,
         max_total_tokens_per_request=8192,
+        enable_profiling=bool(int(os.environ.get("BENCH_PROFILE", "0"))),
+        # BENCH_TRACE_DIR: capture a jax.profiler trace of mid-run decode
+        # steps (analyze with tools/trace_summary.py)
+        trace_dir=os.environ.get("BENCH_TRACE_DIR", ""),
+        trace_start_step=20, trace_num_steps=6,
     )
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
     conn = LocalConnection()
@@ -119,16 +141,19 @@ def main():
     p50_ttft_ms = ttfts[len(ttfts) // 2] * 1e3 if ttfts else -1
 
     # decode roofline: every decode step reads all weights + the batch's KV
-    param_bytes = 2 * (
-        model_cfg.vocab_size * model_cfg.hidden_dim * 2
-        + model_cfg.num_layers * (
+    wbytes = 1 if variant in ("i8i8", "i8i8_w") else 2  # matmul weights
+    kvbytes = (1 + 2 / model_cfg.cache_quant_group
+               if model_cfg.cache_quant_bit == 8 else 2)
+    param_bytes = (
+        2 * model_cfg.vocab_size * model_cfg.hidden_dim * 2  # embed+lm_head
+        + wbytes * model_cfg.num_layers * (
             model_cfg.hidden_dim * (model_cfg.num_heads
                                     + 2 * model_cfg.num_kv_heads)
             * model_cfg.head_dim
             + model_cfg.num_heads * model_cfg.head_dim * model_cfg.hidden_dim
             + 3 * model_cfg.hidden_dim * model_cfg.intermediate_dim))
     kv_bytes_per_seq = (model_cfg.num_layers * 2 * model_cfg.num_kv_heads
-                        * model_cfg.head_dim * 2
+                        * model_cfg.head_dim * kvbytes
                         * (prompt_len + gen_len / 2))
     step_bytes = param_bytes + batch * kv_bytes_per_seq
     roofline_tps = V5E_HBM_GBPS * 1e9 / step_bytes * batch
@@ -139,7 +164,7 @@ def main():
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 4),
-        "config": ("tinyllama1.1b-bf16" if on_tpu else "tiny-smoke")
+        "config": (f"tinyllama1.1b-{variant}" if on_tpu else "tiny-smoke")
         + f"-b{batch}-in{prompt_len}-out{gen_len}",
         "p50_ttft_ms": round(p50_ttft_ms, 1),
         "elapsed_s": round(elapsed, 2),

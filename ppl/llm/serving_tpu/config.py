@@ -64,6 +64,13 @@ class ModelConfig:
     model_type: str = "llama"
     dtype: str = "bfloat16"
     tie_word_embeddings: bool = False
+    # Model-family variations (one parameterized llama-family graph covers
+    # the reference's model zoo — llama/llama3/internlm/baichuan — instead
+    # of per-model ONNX exports):
+    #   attn_bias: qkv/o projection biases (InternLM-7B).
+    #   position_encoding: "rope" | "alibi" (Baichuan-13B uses ALiBi).
+    attn_bias: bool = False
+    position_encoding: str = "rope"
 
     @property
     def head_dim(self) -> int:
@@ -87,6 +94,9 @@ class ModelConfig:
             raise ConfigError("num_heads must be a multiple of num_kv_heads")
         if self.hidden_dim % max(self.num_heads, 1) != 0:
             raise ConfigError("hidden_dim must be divisible by num_heads")
+        if self.position_encoding not in ("rope", "alibi"):
+            raise ConfigError(
+                f"unknown position_encoding {self.position_encoding}")
 
     @classmethod
     def from_params_json(cls, path: str) -> "ModelConfig":
@@ -126,7 +136,8 @@ class ModelConfig:
             cfg.page_size = int(doc["page_size"])
         # optional TPU extensions if present
         for key in ("norm_eps", "rope_theta", "max_position_embeddings",
-                    "model_type", "dtype", "tie_word_embeddings"):
+                    "model_type", "dtype", "tie_word_embeddings",
+                    "attn_bias", "position_encoding"):
             if key in doc:
                 setattr(cfg, key, doc[key])
         return cfg
@@ -150,6 +161,19 @@ class ModelConfig:
             model_type=str(doc.get("model_type", "llama")),
             tie_word_embeddings=bool(doc.get("tie_word_embeddings", False)),
         )
+        # family-specific mappings
+        if cfg.model_type == "internlm":
+            cfg.attn_bias = bool(doc.get("bias", False))
+        if cfg.model_type == "baichuan":
+            # Baichuan-7B uses RoPE; Baichuan-13B uses ALiBi. The HF
+            # config carries no explicit flag, so follow the family
+            # convention (13B = 40 layers) unless the config says
+            # otherwise via "position_embedding".
+            pe = str(doc.get("position_embedding", "")).lower()
+            if pe in ("alibi", "rope"):
+                cfg.position_encoding = pe
+            elif cfg.num_layers >= 40:
+                cfg.position_encoding = "alibi"
         for key, val in overrides.items():
             setattr(cfg, key, val)
         return cfg
@@ -219,6 +243,11 @@ class ResourceConfig:
     enable_penalty: bool = False
 
     quant_method: str = "none"  # "none" | "online_i8i8"
+    # i8i8 matmul implementation: "xla" composes quant + int8 dot_general
+    # in XLA; "pallas" uses the fused weight-streaming kernel
+    # (ops/pallas/quant_matmul.py). "auto" follows the backend like
+    # attention_impl.
+    quant_matmul_impl: str = "auto"  # "auto"|"xla"|"pallas"|"pallas_interpret"
 
     # Step-shape bucketing (TPU replacement for dynamic ragged shapes):
     # token counts and batch sizes are padded up to these bucket boundaries so
@@ -250,3 +279,7 @@ class ResourceConfig:
             raise ConfigError("tensor_parallel_size must be a power of 2")
         if self.quant_method not in ("none", "online_i8i8"):
             raise ConfigError(f"unknown quant_method {self.quant_method}")
+        if self.quant_matmul_impl not in ("auto", "xla", "pallas",
+                                          "pallas_interpret"):
+            raise ConfigError(
+                f"unknown quant_matmul_impl {self.quant_matmul_impl}")

@@ -127,11 +127,17 @@ class LLMEngine:
             attn_impl = ("pallas" if jax.default_backend() not in ("cpu",)
                          else "xla")
         self.attn_impl = attn_impl
+        quant_impl = resource_cfg.quant_matmul_impl
+        if quant_impl == "auto":
+            quant_impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                          else "xla")
+        self.quant_impl = quant_impl
         self.top_k_cap = resource_cfg.sampling_top_k_cap
         self._step_kwargs = dict(
             enable_penalty=enable_penalty,
             quant_method=resource_cfg.quant_method,
             attn_impl=attn_impl,
+            quant_impl=quant_impl,
             top_k_cap=self.top_k_cap)
         step = llama.make_step_fn(model_cfg, spec, **self._step_kwargs)
         # donate device state so cache updates are in-place

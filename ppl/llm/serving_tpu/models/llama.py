@@ -89,7 +89,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
     def make_layer(lk):
         k1, k2, k3, k4 = jax.random.split(lk, 4)
-        return {
+        layer = {
             "attn_norm": jnp.ones((d,), dtype),
             "ffn_norm": jnp.ones((d,), dtype),
             "wqkv": w(k1, (d, n_kv, g + 2, hd), s),
@@ -98,6 +98,11 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "w_down": w(k4, (cfg.intermediate_dim, d),
                         cfg.intermediate_dim ** -0.5),
         }
+        if cfg.attn_bias:
+            k5, k6 = jax.random.split(k4)
+            layer["bqkv"] = w(k5, (n_kv, g + 2, hd), 0.02)
+            layer["bo"] = w(k6, (d,), 0.02)
+        return layer
 
     params = {
         "embedding": w(keys[0], (cfg.vocab_size, d), 1.0),
@@ -133,6 +138,34 @@ def apply_rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _make_matmul(use_i8i8: bool, quant_impl: str = "xla"):
+    """Build the transformer-matmul closure: float einsum/dot, or dynamic
+    per-token i8i8 via XLA composition or the fused Pallas kernel
+    (ops/pallas/quant_matmul.py — streams int8 weights once, quantizes
+    the activation block in VMEM, int8 MXU contraction, scale epilogue)."""
+    from ..ops import quant as quant_ops
+    if use_i8i8 and quant_impl in ("pallas", "pallas_interpret"):
+        from ..ops.pallas import quant_matmul as pallas_quant
+        interp = quant_impl == "pallas_interpret"
+
+        def matmul(h, p, name):
+            return pallas_quant.i8i8_matmul_pallas(
+                h, p[name + "_q"], p[name + "_s"], interpret=interp)
+        return matmul
+    if use_i8i8:
+        def matmul(h, p, name):
+            return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
+        return matmul
+
+    def matmul(h, p, name):
+        if p[name].ndim == 2:
+            return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
+        letters = "kcmn"[: p[name].ndim - 1]
+        return jnp.einsum(f"td,d{letters}->t{letters}", h, p[name],
+                          preferred_element_type=jnp.float32)
+    return matmul
+
+
 class StepOutput(NamedTuple):
     tokens: jax.Array     # i32[B]
     logprobs: jax.Array   # f32[B]
@@ -152,7 +185,8 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
 
     new_layers = []
     for lp in params["layers"]:
-        nl = {"attn_norm": lp["attn_norm"], "ffn_norm": lp["ffn_norm"]}
+        nl = {k: v for k, v in lp.items()
+              if k not in ("wqkv", "wo", "w_gate_up", "w_down")}
         for name in ("wqkv", "wo", "w_gate_up", "w_down"):
             q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
             nl[name + "_q"] = q
@@ -168,6 +202,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  return_logits: bool = False,
                  quant_method: str = "none",
                  attn_impl: str = "xla",
+                 quant_impl: str = "xla",
                  top_k_cap: int = 0):
     """Build the fused forward+sample step for one model configuration.
 
@@ -179,7 +214,6 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     for CPU integration tests). This is the TPU analog of the reference's
     decoding-attention kernel-variant knobs (resource_manager.cc:74-112).
     """
-    from ..ops import quant as quant_ops
     from ..ops.pallas import paged_attention as pallas_attn
 
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -188,16 +222,10 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     use_i8i8 = quant_method == "online_i8i8"
     use_pallas = attn_impl in ("pallas", "pallas_interpret")
     interpret = attn_impl == "pallas_interpret"
-
-    def matmul(h, p, name):
-        """One transformer matmul, float or dynamic-i8i8."""
-        if use_i8i8:
-            return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
-        if p[name].ndim == 2:
-            return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
-        letters = "kcmn"[: p[name].ndim - 1]
-        return jnp.einsum(f"td,d{letters}->t{letters}", h, p[name],
-                          preferred_element_type=jnp.float32)
+    matmul = _make_matmul(use_i8i8, quant_impl)
+    use_alibi = cfg.position_encoding == "alibi"
+    slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
+    attn_bias = cfg.attn_bias
 
     def step(params, kv_cache, kv_scale, count_map,
              inp: StepInput, rng: jax.Array) -> StepOutput:
@@ -241,12 +269,15 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             t = x.shape[0]
             g = n_q // n_kv
             qkv = matmul(h, p, "wqkv").astype(compute_dtype)
+            if attn_bias:
+                qkv = qkv + p["bqkv"].astype(compute_dtype)
             # [T, KVH, G+2, hd]
             q = qkv[:, :, :g, :].reshape(t, n_q, hd)
             k = qkv[:, :, g, :]                    # [T, KVH, hd]
             v = qkv[:, :, g + 1, :]
-            q = apply_rope(q, flat_pos, theta)
-            k = apply_rope(k, flat_pos, theta)
+            if not use_alibi:
+                q = apply_rope(q, flat_pos, theta)
+                k = apply_rope(k, flat_pos, theta)
 
             cache_l, scale_l = kv_ops.append_kv(
                 cache_l, scale_l, k, v, slots, spec)
@@ -255,23 +286,27 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             if use_pallas:
                 attn_d = (pallas_attn.paged_decode_attention(
                     q[:bd], cache_l, sl, pt_decode, ctx_decode, spec,
-                    interpret=interpret) if bd else
+                    interpret=interpret, alibi=slopes) if bd else
                     jnp.zeros((0, n_q, hd), compute_dtype))
                 attn_p = (pallas_attn.paged_prefill_attention(
                     q[bd:].reshape(bp, qp, n_q, hd), cache_l, sl,
                     pt_prefill, inp.prefill_start, inp.prefill_len, spec,
-                    interpret=interpret) if bp else
+                    interpret=interpret, alibi=slopes) if bp else
                     jnp.zeros((0, qp, n_q, hd), compute_dtype))
             else:
                 attn_d = attn_ops.decode_attention_ref(
-                    q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec)
+                    q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec,
+                    alibi=slopes)
                 attn_p = attn_ops.prefill_attention_ref(
                     q[bd:].reshape(bp, qp, n_q, hd), cache_l, scale_l,
-                    pt_prefill, inp.prefill_start, inp.prefill_len, spec)
+                    pt_prefill, inp.prefill_start, inp.prefill_len, spec,
+                    alibi=slopes)
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])
             o = matmul(attn, p, "wo")
+            if attn_bias:
+                o = o + p["bo"].astype(o.dtype)
             x = x + o.astype(compute_dtype)
 
             h = rms_norm(x, p["ffn_norm"], eps)
@@ -316,7 +351,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
 
 
 def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
-                quant_method: str = "none", attn_impl: str = "xla"):
+                quant_method: str = "none", attn_impl: str = "xla",
+                quant_impl: str = "xla"):
     """Teacher-forced token NLLs for perplexity evaluation.
 
     The accuracy harness behind the <=0.1 perplexity-delta target
@@ -325,7 +361,6 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
     logits at every position. Returns per-position NLL of the next token
     and a validity mask.
     """
-    from ..ops import quant as quant_ops
     from ..ops.pallas import paged_attention as pallas_attn
 
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -334,15 +369,10 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
     use_i8i8 = quant_method == "online_i8i8"
     use_pallas = attn_impl in ("pallas", "pallas_interpret")
     interpret = attn_impl == "pallas_interpret"
-
-    def matmul(h, p, name):
-        if use_i8i8:
-            return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
-        if p[name].ndim == 2:
-            return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
-        letters = "kcmn"[: p[name].ndim - 1]
-        return jnp.einsum(f"td,d{letters}->t{letters}", h, p[name],
-                          preferred_element_type=jnp.float32)
+    matmul = _make_matmul(use_i8i8, quant_impl)
+    use_alibi = cfg.position_encoding == "alibi"
+    slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
+    attn_bias = cfg.attn_bias
 
     def nll(params, kv_cache, kv_scale, tokens, n_valid, page_table):
         """tokens i32[L] (padded), n_valid i32[], page_table i32[1, P] ->
@@ -360,11 +390,14 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
             h = rms_norm(x, p["attn_norm"], eps)
             g = n_q // n_kv
             qkv = matmul(h, p, "wqkv").astype(compute_dtype)
+            if attn_bias:
+                qkv = qkv + p["bqkv"].astype(compute_dtype)
             q = qkv[:, :, :g, :].reshape(L, n_q, hd)
             k = qkv[:, :, g, :]
             v = qkv[:, :, g + 1, :]
-            q = apply_rope(q, pos, theta)
-            k = apply_rope(k, pos, theta)
+            if not use_alibi:
+                q = apply_rope(q, pos, theta)
+                k = apply_rope(k, pos, theta)
             cache_l, scale_l = kv_ops.append_kv(
                 kv_cache[li], kv_scale[li] if spec.quantized else None,
                 k, v, slots, spec)
@@ -373,12 +406,14 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
             if use_pallas:
                 attn = pallas_attn.paged_prefill_attention(
                     q[None], cache_l, sl, page_table, start, new_len, spec,
-                    interpret=interpret)[0]
+                    interpret=interpret, alibi=slopes)[0]
             else:
                 attn = attn_ops.prefill_attention_ref(
                     q[None], cache_l, sl, page_table, start, new_len,
-                    spec)[0]
+                    spec, alibi=slopes)[0]
             o = matmul(attn.reshape(L, n_q * hd), p, "wo")
+            if attn_bias:
+                o = o + p["bo"].astype(o.dtype)
             x = x + o.astype(compute_dtype)
             h = rms_norm(x, p["ffn_norm"], eps)
             gate_up = matmul(h, p, "w_gate_up")

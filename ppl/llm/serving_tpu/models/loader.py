@@ -56,29 +56,46 @@ def load_hf_safetensors(model_dir: str, cfg: ModelConfig) -> Dict[str, Any]:
     g = n_q // n_kv
 
     def make_layer(i):
-        # [D, H*hd] -> [D, KVH, G, hd]: HF q head h = kv*G + g_idx uses
-        # kv head h // G, so a plain reshape lands each GQA group together
-        wq = get(f"model.layers.{i}.self_attn.q_proj.weight",
-                 transpose=True).reshape(d, n_kv, g, hd)
-        wk = get(f"model.layers.{i}.self_attn.k_proj.weight",
-                 transpose=True).reshape(d, n_kv, 1, hd)
-        wv = get(f"model.layers.{i}.self_attn.v_proj.weight",
-                 transpose=True).reshape(d, n_kv, 1, hd)
-        return {
-            "attn_norm": get(f"model.layers.{i}.input_layernorm.weight"),
+        pre = f"model.layers.{i}"
+        if f"{pre}.self_attn.W_pack.weight" in tensors:
+            # Baichuan fused qkv: rows are [q | k | v] stacked
+            wpack = get(f"{pre}.self_attn.W_pack.weight", transpose=True)
+            wq = wpack[:, :n_q * hd].reshape(d, n_kv, g, hd)
+            wk = wpack[:, n_q * hd:(n_q + n_kv) * hd].reshape(d, n_kv, 1, hd)
+            wv = wpack[:, (n_q + n_kv) * hd:].reshape(d, n_kv, 1, hd)
+        else:
+            # [D, H*hd] -> [D, KVH, G, hd]: HF q head h = kv*G + g_idx uses
+            # kv head h // G, so a plain reshape lands each GQA group
+            # together
+            wq = get(f"{pre}.self_attn.q_proj.weight",
+                     transpose=True).reshape(d, n_kv, g, hd)
+            wk = get(f"{pre}.self_attn.k_proj.weight",
+                     transpose=True).reshape(d, n_kv, 1, hd)
+            wv = get(f"{pre}.self_attn.v_proj.weight",
+                     transpose=True).reshape(d, n_kv, 1, hd)
+        layer = {
+            "attn_norm": get(f"{pre}.input_layernorm.weight"),
             "ffn_norm": get(
-                f"model.layers.{i}.post_attention_layernorm.weight"),
+                f"{pre}.post_attention_layernorm.weight"),
             "wqkv": jnp.concatenate([wq, wk, wv], axis=2),
-            "wo": get(f"model.layers.{i}.self_attn.o_proj.weight",
+            "wo": get(f"{pre}.self_attn.o_proj.weight",
                       transpose=True),
             "w_gate_up": jnp.stack(
-                [get(f"model.layers.{i}.mlp.gate_proj.weight",
+                [get(f"{pre}.mlp.gate_proj.weight",
                      transpose=True),
-                 get(f"model.layers.{i}.mlp.up_proj.weight",
+                 get(f"{pre}.mlp.up_proj.weight",
                      transpose=True)], axis=1),
-            "w_down": get(f"model.layers.{i}.mlp.down_proj.weight",
+            "w_down": get(f"{pre}.mlp.down_proj.weight",
                           transpose=True),
         }
+        if cfg.attn_bias:
+            # InternLM-7B qkv/o biases, repacked to the fused layout
+            bq = get(f"{pre}.self_attn.q_proj.bias").reshape(n_kv, g, hd)
+            bk = get(f"{pre}.self_attn.k_proj.bias").reshape(n_kv, 1, hd)
+            bv = get(f"{pre}.self_attn.v_proj.bias").reshape(n_kv, 1, hd)
+            layer["bqkv"] = jnp.concatenate([bq, bk, bv], axis=1)
+            layer["bo"] = get(f"{pre}.self_attn.o_proj.bias")
+        return layer
 
     embed = get("model.embed_tokens.weight")
     if cfg.tie_word_embeddings or "lm_head.weight" not in tensors:

@@ -28,6 +28,40 @@ from .kv_cache import CacheSpec, gather_pages
 _NEG_INF = -1e30
 
 
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Per-head ALiBi slopes (Press et al.), f32[num_heads].
+
+    Power-of-two head counts use the geometric sequence 2^(-8h/n); other
+    counts interleave the next power's odd terms (the standard published
+    recipe, matching HF/Baichuan).
+    """
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        s = pow2_slopes(num_heads)
+    else:
+        closest = 2 ** int(math.floor(math.log2(num_heads)))
+        s = pow2_slopes(closest)
+        extra = pow2_slopes(2 * closest)[0::2]
+        s += extra[: num_heads - closest]
+    return jnp.asarray(s, jnp.float32)
+
+
+def _alibi_bias(slopes: jax.Array, kv_len: int) -> jax.Array:
+    """[H, KV] bias ``slope_h * k_pos``.
+
+    The canonical ALiBi penalty is ``-slope * (q_pos - k_pos)``; adding
+    the per-query constant ``slope * q_pos`` (softmax-invariant) reduces
+    it to ``slope * k_pos``, which needs no query positions at all.
+    """
+    k_pos = jnp.arange(kv_len, dtype=jnp.float32)
+    return slopes[:, None] * k_pos[None, :]
+
+
 def _gqa_expand(x: jax.Array, num_q_heads: int) -> jax.Array:
     """[..., kv_heads, d] -> [..., q_heads, d] by group repetition."""
     kv_heads = x.shape[-2]
@@ -44,6 +78,7 @@ def decode_attention_ref(
     page_table: jax.Array,       # i32[B, P]
     context_len: jax.Array,      # i32[B] (kv length incl. this token)
     spec: CacheSpec,
+    alibi: Optional[jax.Array] = None,   # f32[q_heads] slopes
 ) -> jax.Array:                  # [B, q_heads, head_dim]
     b, num_q_heads, head_dim = q.shape
     k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
@@ -54,6 +89,8 @@ def decode_attention_ref(
     scores = jnp.einsum("bhd,bkhd->bhk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
+    if alibi is not None:
+        scores = scores + _alibi_bias(alibi, kv_len)[None]
     mask = jnp.arange(kv_len)[None, :] < context_len[:, None]  # [B, KV]
     scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -70,6 +107,7 @@ def prefill_attention_ref(
     start: jax.Array,            # i32[Bp] absolute pos of first new token
     new_len: jax.Array,          # i32[Bp] valid new tokens per row
     spec: CacheSpec,
+    alibi: Optional[jax.Array] = None,   # f32[q_heads] slopes
 ) -> jax.Array:                  # [Bp, Qp, q_heads, head_dim]
     bp, qp, num_q_heads, head_dim = q.shape
     k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
@@ -80,6 +118,8 @@ def prefill_attention_ref(
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
+    if alibi is not None:
+        scores = scores + _alibi_bias(alibi, kv_len)[None, :, None, :]
     # query i sits at absolute position start + i; it sees keys [0, start+i]
     q_pos = start[:, None] + jnp.arange(qp)[None, :]            # [Bp, Qp]
     k_idx = jnp.arange(kv_len)[None, None, :]                   # [1, 1, KV]

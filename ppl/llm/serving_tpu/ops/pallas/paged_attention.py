@@ -133,8 +133,10 @@ class _Row:
 
 
 def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
+                   has_alibi: bool,
                    pt_ref, ctx_ref,                  # scalar prefetch
-                   q_ref, cache_ref, scale_ref,      # inputs
+                   q_ref, cache_ref, scale_ref,
+                   slopes_ref,                       # inputs
                    o_ref,                            # output
                    k_buf, v_buf, ks_buf, vs_buf, sem):
     """Each program handles ``seq_blk`` sequences: every page phase fires
@@ -241,8 +243,14 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            valid = (p_idx * ps + jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, ps), 2)) < ctx_b
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps), 2)
+            if has_alibi:
+                # softmax-shift-invariant ALiBi form: bias = slope * k_pos
+                slopes = jnp.concatenate(
+                    [slopes_ref[:]] * seq_blk, axis=0)   # [sb*KVH, G]
+                k_pos = (p_idx * ps + k_iota).astype(jnp.float32)
+                s = s + slopes[..., None] * k_pos
+            valid = (p_idx * ps + k_iota) < ctx_b
             s = jnp.where(valid, s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1))
@@ -273,8 +281,10 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
 
 
 def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
+                    has_alibi: bool,
                     pt_ref, start_ref, newlen_ref,    # scalar prefetch
-                    q_ref, cache_ref, scale_ref,      # inputs
+                    q_ref, cache_ref, scale_ref,
+                    slopes_ref,                       # inputs
                     o_ref,                            # output
                     k_buf, v_buf, ks_buf, vs_buf, sem):
     b = pl.program_id(0)
@@ -327,6 +337,10 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                 preferred_element_type=jnp.float32)   # [KVH, G*qblk, ps]
             k_pos = (p_idx * ps + jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, ps), 2))
+            if has_alibi:
+                # slopes pre-expanded to [KVH, G*q_blk] by the wrapper
+                s = s + (slopes_ref[:][..., None]
+                         * k_pos.astype(jnp.float32))
             mask = (k_pos <= row_pos) & row_valid & (k_pos < ctx)
             s = jnp.where(mask, s, _NEG_INF)
 
@@ -388,6 +402,7 @@ def paged_decode_attention(
     *,
     seq_block: int = 4,
     interpret: bool = False,
+    alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
 ) -> jax.Array:
     """Decode attention over the paged cache; one new token per row."""
     b, num_q_heads, hd = q.shape
@@ -399,7 +414,12 @@ def paged_decode_attention(
         seq_block //= 2
 
     kvh, ps = spec.num_kv_heads, spec.page_size
-    kernel = functools.partial(_decode_kernel, spec, num_q_heads, seq_block)
+    g = num_q_heads // kvh
+    has_alibi = alibi is not None
+    slopes = (alibi.astype(jnp.float32).reshape(kvh, g) if has_alibi
+              else jnp.zeros((kvh, g), jnp.float32))
+    kernel = functools.partial(_decode_kernel, spec, num_q_heads, seq_block,
+                               has_alibi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // seq_block,),
@@ -409,6 +429,7 @@ def paged_decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes [KVH, G]
         ],
         out_specs=pl.BlockSpec((seq_block, num_q_heads, shd),
                                lambda i, *_: (i, 0, 0),
@@ -431,7 +452,7 @@ def paged_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(page_table, context_len, q, cache_layer, scale_layer)
+    )(page_table, context_len, q, cache_layer, scale_layer, slopes)
     return out[..., :hd]
 
 
@@ -446,6 +467,7 @@ def paged_prefill_attention(
     *,
     q_block: int = 128,
     interpret: bool = False,
+    alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
 ) -> jax.Array:
     """Chunked-causal prefill attention over the paged cache; supports
     start > 0 (prefix-cache-hit continuation). This step's K/V must
@@ -458,7 +480,16 @@ def paged_prefill_attention(
         scale_layer = _scale_placeholder(spec)
     q = _pad_q(q, spec)
 
-    kernel = functools.partial(_prefill_kernel, spec, num_q_heads, q_blk)
+    kvh = spec.num_kv_heads
+    g = num_q_heads // kvh
+    has_alibi = alibi is not None
+    # expanded to the kernel's [KVH, G*q_blk] flattened-q layout (col j
+    # holds the slope of q head (kv_head, j // q_blk))
+    slopes = (jnp.repeat(alibi.astype(jnp.float32).reshape(kvh, g),
+                         q_blk, axis=1) if has_alibi
+              else jnp.zeros((kvh, g * q_blk), jnp.float32))
+    kernel = functools.partial(_prefill_kernel, spec, num_q_heads, q_blk,
+                               has_alibi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bp, qp // q_blk),
@@ -468,6 +499,7 @@ def paged_prefill_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes
         ],
         out_specs=pl.BlockSpec((1, q_blk, num_q_heads, shd),
                                lambda b, qb, *_: (b, qb, 0, 0),
@@ -482,5 +514,5 @@ def paged_prefill_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(page_table, start, new_len, q, cache_layer, scale_layer)
+    )(page_table, start, new_len, q, cache_layer, scale_layer, slopes)
     return out[..., :hd]

@@ -1,0 +1,116 @@
+"""Fused dynamic-quant i8i8 matmul Pallas kernel.
+
+TPU-native replacement for the reference's ``QUANT_METHOD_ONLINE_I8I8``
+matmul path (``resource_manager.cc:43-67``, SURVEY.md E2), where the CUDA
+engine fuses per-token activation quantization into an int8 cublas GEMM.
+
+Why a kernel instead of the XLA composition in ``ops/quant.py``: measured
+end-to-end, the XLA int8 path (separate absmax pass over x, quantize,
+int8 dot_general, f32 rescale) runs SLOWER than bf16 — the extra
+activation passes and the int8 dot's lowering cost more than the halved
+weight bytes save (docs/performance.md). This kernel quantizes each
+activation tile once in VMEM, contracts on the MXU's native int8 path,
+and applies the (act_scale x weight_scale) epilogue in VMEM before the
+result leaves the core.
+
+Grid layout: ``(T tiles, N tiles)`` with the N sweep innermost. The x
+tile block index only depends on the T-tile coordinate, so Pallas keeps
+it resident in VMEM across the whole N sweep; quantization happens once
+per tile (at n==0, into scratch that persists across grid steps — TPU
+grids run sequentially). Decode-sized calls (T <= tile) therefore stream
+the int8 weights exactly once at half the bf16 byte count, which is the
+whole win in the weight-bandwidth-bound decode regime; prefill-sized
+calls re-stream weights once per x tile but are MXU-bound there.
+
+Numerics match ``ops.quant.i8i8_matmul`` (same symmetric per-token /
+per-out-channel scheme) up to f32 round-off in the epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block_n(d: int, n: int, target_bytes: int = 1 << 20) -> int:
+    """Weight block columns: keep each [D, block_n] int8 block near
+    ``target_bytes`` so double buffering stays well inside VMEM."""
+    bn = max(128, min(1024, (target_bytes // max(d, 1)) // 128 * 128))
+    return min(bn, max(128, ((n + 127) // 128) * 128))
+
+
+def _pick_block_t(d: int, t: int, target_bytes: int = 1 << 20) -> int:
+    """Activation tile rows: bound the resident [block_t, D] bf16 tile."""
+    bt = max(128, min(512, (target_bytes // max(2 * d, 1)) // 128 * 128))
+    return min(bt, max(8, ((t + 7) // 8) * 8))
+
+
+def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)   # [bt, 1]
+        scale = absmax * (1.0 / 127.0)
+        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-10), 0.0)
+        xq_ref[:] = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+        xs_ref[:] = scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                            # [bt, bn]
+    out_ref[:] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_n",
+                                             "block_t"))
+def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                       *, interpret: bool = False,
+                       block_n: int = 0, block_t: int = 0) -> jax.Array:
+    """x [T, D] float  x  w_q int8 [D, ...out] -> f32 [T, ...out].
+
+    Drop-in for ``ops.quant.i8i8_matmul``; w_scale is f32 shaped like w_q
+    without the contraction axis.
+    """
+    t, d = x.shape
+    out_shape = w_q.shape[1:]
+    n = 1
+    for s in out_shape:
+        n *= s
+    w2 = w_q.reshape(d, n)
+    s2 = w_scale.reshape(1, n).astype(jnp.float32)
+    bn = block_n or _pick_block_n(d, n)
+    bt = block_t or _pick_block_t(d, t)
+    grid = (pl.cdiv(t, bt), pl.cdiv(n, bn))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, d), jnp.int8),
+            pltpu.VMEM((bt, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * d * n,
+            bytes_accessed=d * n + t * d * x.dtype.itemsize + t * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w2, s2)
+    return out.reshape((t,) + out_shape)

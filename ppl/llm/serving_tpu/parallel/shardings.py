@@ -75,6 +75,10 @@ _LAYER_SPECS = {
     "w_gate_up_s": P(None, "tp"),
     "w_down_q": P("tp", None),
     "w_down_s": P(None),
+    # qkv/o biases (InternLM): bqkv follows the kv-head split of wqkv's
+    # output; bo is added after the row-parallel wo all-reduce, replicated
+    "bqkv": P("tp", None, None),
+    "bo": P(None),
 }
 
 

@@ -60,6 +60,57 @@ class TestQuantOps:
         assert rel < 0.02
 
 
+class TestPallasI8I8Matmul:
+    """Fused weight-streaming kernel (ops/pallas/quant_matmul.py) must
+    match the XLA composition bit-for-bit up to f32 epilogue round-off."""
+
+    def _check(self, t, d, out_shape, block_n=0):
+        from ppl.llm.serving_tpu.ops.pallas.quant_matmul import (
+            i8i8_matmul_pallas)
+        x = jax.random.normal(jax.random.PRNGKey(0), (t, d), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (d,) + out_shape,
+                              jnp.float32) * 0.1
+        wq, ws = Q.quantize_weight(w, contract_axis=0)
+        ref = Q.i8i8_matmul(x, wq, ws)
+        out = i8i8_matmul_pallas(x, wq, ws, interpret=True, block_n=block_n)
+        assert out.shape == ref.shape
+        denom = float(jnp.abs(ref).max()) or 1.0
+        assert float(jnp.abs(out - ref).max()) / denom < 1e-5
+
+    def test_2d(self):
+        self._check(16, 256, (256,))
+
+    def test_multidim_out(self):
+        self._check(8, 256, (2, 3, 64))
+
+    def test_nondivisible_n(self):
+        self._check(16, 256, (300,), block_n=128)
+
+    def test_zero_rows(self):
+        self._check(8, 256, (128,))
+
+    def test_model_step_pallas_quant_matches_xla(self):
+        """Whole fused step with quant_impl=pallas_interpret equals the
+        XLA i8i8 step."""
+        params = llama.quantize_model_params(
+            llama.init_params(CFG, jax.random.PRNGKey(0),
+                              dtype=jnp.float32))
+        cache, _ = kv_ops.init_cache(SPEC)
+        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
+        cm = jnp.zeros((1, 1), jnp.int32)
+        seq = (np.arange(20) * 7 + 3) % 250
+        outs = []
+        for qimpl in ("xla", "pallas_interpret"):
+            step = llama.make_step_fn(CFG, SPEC, return_logits=True,
+                                      quant_method="online_i8i8",
+                                      quant_impl=qimpl)
+            out = step(params, list(cache), list(scale), cm,
+                       prefill_input(seq, SPEC), jax.random.PRNGKey(0))
+            outs.append(np.asarray(out.logits[0]))
+        rel = np.abs(outs[0] - outs[1]).max() / (np.abs(outs[0]).max() or 1)
+        assert rel < 1e-4, rel
+
+
 CFG = ModelConfig(
     hidden_dim=64, intermediate_dim=128, num_layers=2, num_heads=4,
     num_kv_heads=2, vocab_size=256, cache_mode=1, page_size=16,

@@ -37,6 +37,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    choices=["bfloat16", "float32"])
     p.add_argument("--quant-method", default="none",
                    choices=["none", "online_i8i8"])
+    p.add_argument("--quant-matmul-impl", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_interpret"],
+                   help="i8i8 matmul path: XLA composition or the fused "
+                        "Pallas weight-streaming kernel")
     p.add_argument("--cache-quant-bit", type=int, default=None,
                    help="override KV quant (0 or 8)")
     p.add_argument("--page-size", type=int, default=128)
@@ -112,6 +116,7 @@ def build_configs(args):
         max_running_batch=args.max_running_batch,
         enable_penalty=args.enable_penalty,
         quant_method=args.quant_method,
+        quant_matmul_impl=args.quant_matmul_impl,
         multi_step=args.multi_step,
     )
     max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch

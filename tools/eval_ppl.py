@@ -62,9 +62,12 @@ def main():
     attn = resource_cfg.attention_impl
     if attn == "auto":
         attn = "pallas" if jax.default_backend() != "cpu" else "xla"
+    qimpl = resource_cfg.quant_matmul_impl
+    if qimpl == "auto":
+        qimpl = "pallas" if jax.default_backend() != "cpu" else "xla"
     nll_fn = jax.jit(llama.make_nll_fn(
         model_cfg, spec, quant_method=resource_cfg.quant_method,
-        attn_impl=attn))
+        attn_impl=attn, quant_impl=qimpl))
 
     text = open(args.text_file).read()
     ids = tokenizer.encode(text)
