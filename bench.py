@@ -84,7 +84,9 @@ def main():
         # BENCH_TRACE_DIR: capture a jax.profiler trace of mid-run decode
         # steps (analyze with tools/trace_summary.py)
         trace_dir=os.environ.get("BENCH_TRACE_DIR", ""),
-        trace_start_step=20, trace_num_steps=6,
+        # the measured phase is ~9 loop steps (1 prefill + out/multi_step
+        # decode blocks); capture mid-run decode blocks
+        trace_start_step=3, trace_num_steps=4,
     )
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
     conn = LocalConnection()

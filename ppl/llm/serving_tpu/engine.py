@@ -139,13 +139,10 @@ class LLMEngine:
             attn_impl=attn_impl,
             quant_impl=quant_impl,
             top_k_cap=self.top_k_cap)
-        step = llama.make_step_fn(model_cfg, spec, **self._step_kwargs)
-        # donate device state so cache updates are in-place
-        self._jit_step = jax.jit(step, donate_argnums=(1, 2, 3))
         self._clear_slots = jax.jit(
             sampling_ops.clear_count_slots, donate_argnums=(0,))
         self._multi_step = max(1, resource_cfg.multi_step)
-        self._multi_cache: Dict[int, Any] = {}
+        self._packed_cache: Dict[Any, Any] = {}
         self._last_final_tokens = None  # device [B_bucket], block feedback
 
         self.batch_buckets = tuple(resource_cfg.batch_buckets)
@@ -156,14 +153,107 @@ class LLMEngine:
 
     # -- bucketing -----------------------------------------------------------
 
-    def _get_multi_step(self, n_steps: int):
-        fn = self._multi_cache.get(n_steps)
-        if fn is None:
-            fn = jax.jit(
-                llama.make_multi_step_fn(self.model_cfg, self.spec, n_steps,
-                                         **self._step_kwargs),
-                donate_argnums=(1, 2, 3))
-            self._multi_cache[n_steps] = fn
+    # The 15 per-step metadata arrays ride ONE packed i32 buffer and are
+    # unpacked inside the jitted program (slices + bitcasts). Through the
+    # tunneled runtime every separate H2D transfer pays per-call latency;
+    # the reference has the same per-step re-upload discipline concern
+    # (``llm_engine.cc:40-61`` re-binds 11 tensors per step).
+    _PACK_FIELDS = (
+        ("decode_tokens", "i32"), ("decode_pos", "i32"),
+        ("prefill_tokens", "i32"), ("prefill_start", "i32"),
+        ("prefill_len", "i32"), ("page_table", "i32"),
+        ("context_len", "i32"), ("batch_slots", "i32"),
+        ("temperature", "f32"), ("top_k", "i32"), ("top_p", "f32"),
+        ("do_sample", "bool"), ("rep_pen", "f32"), ("pres_pen", "f32"),
+        ("freq_pen", "f32"),
+    )
+
+    @staticmethod
+    def _pack_arrays(a: Dict[str, np.ndarray]) -> np.ndarray:
+        parts = []
+        for name, kind in LLMEngine._PACK_FIELDS:
+            arr = np.ascontiguousarray(a[name])
+            if kind == "f32":
+                arr = arr.astype(np.float32, copy=False).view(np.int32)
+            elif kind == "bool":
+                arr = arr.astype(np.int32)
+            else:
+                arr = arr.astype(np.int32, copy=False)
+            parts.append(arr.ravel())
+        return np.concatenate(parts)
+
+    def _get_packed_runner(self, n_steps: int, feed: bool,
+                           bd: int, bp: int, qp: int, kvp: int):
+        key = (n_steps, feed, bd, bp, qp, kvp)
+        fn = self._packed_cache.get(key)
+        if fn is not None:
+            return fn
+        b = bd + bp
+        if n_steps > 1:
+            inner = llama.make_multi_step_fn(
+                self.model_cfg, self.spec, n_steps, **self._step_kwargs)
+        else:
+            inner = llama.make_step_fn(
+                self.model_cfg, self.spec, **self._step_kwargs)
+        shapes = {
+            "decode_tokens": (bd,), "decode_pos": (bd,),
+            "prefill_tokens": (bp, qp), "prefill_start": (bp,),
+            "prefill_len": (bp,), "page_table": (b, kvp),
+            "context_len": (b,), "batch_slots": (b,),
+            "temperature": (b,), "top_k": (b,), "top_p": (b,),
+            "do_sample": (b,), "rep_pen": (b,), "pres_pen": (b,),
+            "freq_pen": (b,),
+        }
+
+        def unpack(packed):
+            out = {}
+            ofs = 0
+            for name, kind in self._PACK_FIELDS:
+                shape = shapes[name]
+                n = 1
+                for s in shape:
+                    n *= s
+                x = packed[ofs: ofs + n].reshape(shape)
+                ofs += n
+                if kind == "f32":
+                    x = jax.lax.bitcast_convert_type(x, jnp.float32)
+                elif kind == "bool":
+                    x = x != 0
+                out[name] = x
+            return out
+
+        def make_input(f, prev_tokens=None):
+            return llama.StepInput(
+                decode_tokens=(prev_tokens if prev_tokens is not None
+                               else f["decode_tokens"]),
+                decode_pos=f["decode_pos"],
+                prefill_tokens=f["prefill_tokens"],
+                prefill_start=f["prefill_start"],
+                prefill_len=f["prefill_len"],
+                page_table=f["page_table"],
+                context_len=f["context_len"],
+                batch_slots=f["batch_slots"],
+                sampling=sampling_ops.SamplingParams(
+                    temperature=f["temperature"], top_k=f["top_k"],
+                    top_p=f["top_p"], do_sample=f["do_sample"],
+                    repetition_penalty=f["rep_pen"],
+                    presence_penalty=f["pres_pen"],
+                    frequency_penalty=f["freq_pen"]))
+
+        if feed:
+            def runner(params, kv_cache, kv_scale, count_map, packed,
+                       prev_tokens, rng):
+                inp = make_input(unpack(packed), prev_tokens)
+                return inner(params, kv_cache, kv_scale, count_map, inp,
+                             rng)
+        else:
+            def runner(params, kv_cache, kv_scale, count_map, packed, rng):
+                inp = make_input(unpack(packed))
+                return inner(params, kv_cache, kv_scale, count_map, inp,
+                             rng)
+
+        fn = jax.jit(runner, donate_argnums=(1, 2, 3))
+        self._packed_cache[key] = fn
         return fn
 
     def _kvp_bucket(self, max_pages: int) -> int:
@@ -321,47 +411,34 @@ class LLMEngine:
         bd = plan["bd"]
         decode_idx = plan["decode_idx"]
         prefill_idx = plan["prefill_idx"]
+        bp, qp = a["prefill_tokens"].shape
+        kvp = a["page_table"].shape[1]
+        packed_np = self._pack_arrays(a)
         if self.mesh is not None and jax.process_count() > 1:
             # multi-host SPMD: every host holds the identical plan, so
-            # inputs are placed fully-replicated on the global mesh
+            # the packed buffer is placed fully-replicated on the mesh
             sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec())
-            a = {k: jax.device_put(v, sharding) for k, v in a.items()}
-        inp = llama.StepInput(
-            decode_tokens=jnp.asarray(a["decode_tokens"]),
-            decode_pos=jnp.asarray(a["decode_pos"]),
-            prefill_tokens=jnp.asarray(a["prefill_tokens"]),
-            prefill_start=jnp.asarray(a["prefill_start"]),
-            prefill_len=jnp.asarray(a["prefill_len"]),
-            page_table=jnp.asarray(a["page_table"]),
-            context_len=jnp.asarray(a["context_len"]),
-            batch_slots=jnp.asarray(a["batch_slots"]),
-            sampling=sampling_ops.SamplingParams(
-                temperature=jnp.asarray(a["temperature"]),
-                top_k=jnp.asarray(a["top_k"]),
-                top_p=jnp.asarray(a["top_p"]),
-                do_sample=jnp.asarray(a["do_sample"]),
-                repetition_penalty=jnp.asarray(a["rep_pen"]),
-                presence_penalty=jnp.asarray(a["pres_pen"]),
-                frequency_penalty=jnp.asarray(a["freq_pen"]),
-            ),
-        )
-        if plan.get("feed_device_tokens") and self._last_final_tokens is not None:
-            inp = inp._replace(decode_tokens=self._last_final_tokens)
+            packed = jax.device_put(packed_np, sharding)
+        else:
+            packed = jnp.asarray(packed_np)
+        feed = bool(plan.get("feed_device_tokens")
+                    and self._last_final_tokens is not None)
+        runner = self._get_packed_runner(n_steps, feed, bd, bp, qp, kvp)
         rng = jax.random.fold_in(self._rng, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter_ns()
 
+        args = (self._params, self.kv_cache, self.kv_scale, self.count_map,
+                packed)
+        args += ((self._last_final_tokens, rng) if feed else (rng,))
         if n_steps > 1:
             # decode-only: run a block of N steps on device, fetch once
             toks_dev, lps_dev, self.kv_cache, self.kv_scale, \
-                self.count_map = self._get_multi_step(n_steps)(
-                    self._params, self.kv_cache, self.kv_scale,
-                    self.count_map, inp, rng)
+                self.count_map = runner(*args)
             self._last_final_tokens = toks_dev[-1]
         else:
-            out = self._jit_step(self._params, self.kv_cache, self.kv_scale,
-                                 self.count_map, inp, rng)
+            out = runner(*args)
             self.kv_cache = out.kv_cache
             self.kv_scale = out.kv_scale
             self.count_map = out.count_map

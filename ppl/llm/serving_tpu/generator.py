@@ -422,6 +422,7 @@ class LLMGenerator:
         self._cooldown = 0
         res = _CheckResult()
         loop_step = 0
+        self._trace_active = False
 
         def check_func(lreq: _LlmRequest) -> bool:
             res.reset_request()
@@ -577,8 +578,11 @@ class LLMGenerator:
             if cfg.trace_dir:
                 if loop_step == cfg.trace_start_step:
                     self.engine.start_trace(cfg.trace_dir)
-                elif loop_step == cfg.trace_start_step + cfg.trace_num_steps:
+                    self._trace_active = True
+                elif (self._trace_active and loop_step
+                      >= cfg.trace_start_step + cfg.trace_num_steps):
                     self.engine.stop_trace()
+                    self._trace_active = False
 
             if cfg.enable_profiling and (
                     loop_step == 1 or loop_step % 100 == 0
@@ -598,6 +602,9 @@ class LLMGenerator:
         if self._decode_future is not None:
             self._decode_future.result()
             self._decode_future = None
+        if self._trace_active:  # flush the trace even on early drain
+            self.engine.stop_trace()
+            self._trace_active = False
 
 
 def default_on_profiling(profiler: WorkerProfiler) -> None:

@@ -70,6 +70,16 @@ class CacheSpec:
     def scale_groups(self) -> int:
         return max(self.head_dim // self.quant_group, 1)
 
+    @property
+    def scale_lane_stride(self) -> int:
+        """Lanes per kv head in the packed scale row: k then v groups."""
+        return 2 * self.scale_groups
+
+    @property
+    def scale_lanes(self) -> int:
+        """Packed scale-row width, padded to the 128-lane tile."""
+        return -(-self.num_kv_heads * self.scale_lane_stride // 128) * 128
+
 
 def init_cache(spec: CacheSpec):
     """Allocate the (cache, scale) pair as PER-LAYER LISTS of
@@ -82,10 +92,20 @@ def init_cache(spec: CacheSpec):
     full multi-GB cache copy per layer per step. Separate donated arrays
     update truly in place.
 
-    Scales use a TRANSPOSED layout [2, KVH, groups, slots]: the slot
-    axis is minor so the kernels' per-page scale DMA slices a 128-aligned
-    minor-dim range (a [.., slots, groups] layout has a sub-128 minor dim,
-    which Mosaic DMA rejects).
+    Scales use a PACKED-ROW layout [num_slots, scale_lanes]: one row per
+    token slot holding every head's k+v group scales in lane order
+    (head, k|v, group), zero-padded to a 128-lane multiple. Two reasons:
+
+    - The per-step scale WRITE is then the same dense row scatter as the
+      values (flat-view trick below). The previous slot-minor layout
+      [2, KVH, groups, slots] made XLA run every scale scatter in a
+      transposed operand layout and insert a full relayout copy of the
+      scale array per layer per step — traced at ~75% of int8-KV decode
+      device time (~12 ms/step on TinyLlama/v5e).
+    - The kernels' per-page scale DMA slices rows [page*ps : +ps, :],
+      whose minor dim is the full 128-aligned lane axis (Mosaic rejects
+      sub-128 minor-dim HBM slices, so a [.., slots, groups] layout with
+      groups minor is not DMA-able).
     """
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
     cache = [jnp.zeros(
@@ -94,7 +114,7 @@ def init_cache(spec: CacheSpec):
     scale = None
     if spec.quantized:
         scale = [jnp.zeros(
-            (2, spec.num_kv_heads, spec.scale_groups, spec.num_slots),
+            (spec.num_slots, spec.scale_lanes),
             dtype=jnp.bfloat16) for _ in range(spec.num_layers)]
     return cache, scale
 
@@ -176,10 +196,15 @@ def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
         flat = cache_layer.reshape(2 * kvh * s_slots, spec.shd)
         flat = flat.at[row_ids()].set(pack(qk, qv))
         cache_layer = flat.reshape(cache_layer.shape)
-        # transposed scale layout: scatter on the minor slot axis;
-        # update shape is [T, kv_heads, groups]
-        scale_layer = scale_layer.at[0, :, :, slots].set(sk)
-        scale_layer = scale_layer.at[1, :, :, slots].set(sv)
+        # packed-row scale layout: one [scale_lanes] row per slot in lane
+        # order (head, k|v, group) — a dense row scatter, exactly like the
+        # value scatter above (anything else relayouts; see init_cache)
+        packed = jnp.stack([sk, sv], axis=2).reshape(
+            t, kvh * spec.scale_lane_stride)      # [T, KVH*2*G]
+        if packed.shape[1] != spec.scale_lanes:
+            packed = jnp.pad(
+                packed, ((0, 0), (0, spec.scale_lanes - packed.shape[1])))
+        scale_layer = scale_layer.at[slots].set(packed)
     else:
         if spec.shd != spec.head_dim:
             pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
@@ -209,12 +234,14 @@ def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     k = cache_layer[0, :, slots][..., :spec.head_dim]
     v = cache_layer[1, :, slots][..., :spec.head_dim]
     if spec.quantized:
-        # transposed scale layout [2, KVH, groups, S]: advanced (0, slots)
-        # first -> [B, KV, KVH, groups]
-        sk = scale_layer[0, :, :, slots]
-        sv = scale_layer[1, :, :, slots]
-        k = dequantize_kv(k, sk, spec.quant_group, dtype)
-        v = dequantize_kv(v, sv, spec.quant_group, dtype)
+        # packed-row scale layout [S, lanes]: gather rows, unpack lane
+        # order (head, k|v, group) -> [B, KV, KVH, 2, G]
+        rows = scale_layer[slots][
+            ..., : spec.num_kv_heads * spec.scale_lane_stride]
+        rows = rows.reshape(b, p * spec.page_size, spec.num_kv_heads, 2,
+                            spec.scale_groups)
+        k = dequantize_kv(k, rows[..., 0, :], spec.quant_group, dtype)
+        v = dequantize_kv(v, rows[..., 1, :], spec.quant_group, dtype)
     else:
         k = k.astype(dtype)
         v = v.astype(dtype)

@@ -18,10 +18,13 @@ Kernel shape:
   [KVH, ps, hd] -> [KVH, G, ps] on the MXU,
 - int8 KV (group-8 scales) dequantized in VMEM right after the DMA —
   int8 pages also HALVE the DMA bytes, which is the real win. Scales
-  live in a transposed [KVH, groups, slots] layout (slot-minor) because
-  Mosaic DMA requires 128-aligned minor-dim slices; the per-element
-  expansion is a one-hot matmul (s @ E), since Mosaic cannot shape-cast
-  the 128-lane axis into (groups, group).
+  live in packed rows [num_slots, scale_lanes] (lane order (head, k|v,
+  group), 128-padded) so one extra row-slab DMA per page fetches every
+  head's scales AND the host-side scale write is a dense row scatter
+  (the slot-minor layout used previously made XLA relayout-copy the
+  whole scale array on every scatter — 75% of int8 decode time). The
+  per-element expansion is a one-hot matmul (s @ E), since Mosaic
+  cannot shape-cast the 128-lane axis into (groups, group).
 
 Hardware constraints honored here (probed on v5e):
 - HBM DMA slices need a >=128, 128-aligned minor dim -> the cache stores
@@ -50,29 +53,37 @@ from ..kv_cache import CacheSpec
 _NEG_INF = -1e30
 
 
-def _dequant(vals, scales, group: int, dtype):
-    """int8 vals [KVH, ps, shd] x bf16 scales [KVH, groups, ps] -> dtype.
+def _expand_matrix(spec: CacheSpec):
+    """[G, shd] one-hot: E[i, j] = [j // group == i]; padded storage
+    lanes (j >= groups * group) match no group and dequantize to 0."""
+    ng, shd, group = spec.scale_groups, spec.shd, spec.quant_group
+    return (jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 1) // group
+            == jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 0)
+            ).astype(jnp.float32)
 
-    Expansion matmul: E[i, j] = [j // group == i]; padded storage lanes
-    (j >= groups * group) match no group and dequantize to 0.
-    """
-    kvh, ps, shd = vals.shape
-    ng = scales.shape[1]
-    expand = (jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 1) // group
-              == jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 0)
-              ).astype(jnp.float32)
+
+def _dequant_head(vals_h, s_slab, h: int, c: int, spec: CacheSpec, expand):
+    """One head's page slab: int8 vals_h [ps, shd] x packed scale rows
+    s_slab [ps, scale_lanes] -> f32 [ps, shd].
+
+    Lane order of the packed rows is (head, k|v, group) — see
+    kv_cache.init_cache. The [ps, G] lane slice expands to per-element
+    scales with the one-hot matmul (Mosaic cannot shape-cast the lane
+    axis into (groups, group))."""
+    off = h * spec.scale_lane_stride + c * spec.scale_groups
+    s = s_slab[:, off: off + spec.scale_groups].astype(jnp.float32)
     s_full = jax.lax.dot_general(
-        scales.astype(jnp.float32), expand,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [KVH, ps, shd]
-    return (vals.astype(jnp.float32) * s_full).astype(dtype)
+        s, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [ps, shd]
+    return vals_h.astype(jnp.float32) * s_full
 
 
 def _make_dma_helpers(spec: CacheSpec, cache_ref, scale_ref, pt_ref,
-                      k_buf, v_buf, ks_buf, vs_buf, sem, row_ref):
-    """start/wait DMA closures for one (k, v [, scales]) page slab."""
+                      k_buf, v_buf, s_buf, sem, row_ref):
+    """start/wait DMA closures for one (k, v [, scale-rows]) page slab."""
     ps = spec.page_size
     quant = spec.quantized
+    kvh = spec.num_kv_heads
 
     def start_dma(slot, p_idx):
         page = pt_ref[row_ref[0], p_idx]
@@ -85,11 +96,8 @@ def _make_dma_helpers(spec: CacheSpec, cache_ref, scale_ref, pt_ref,
             sem.at[slot, 1]).start()
         if quant:
             pltpu.make_async_copy(
-                scale_ref.at[0, :, :, pl.ds(base, ps)], ks_buf.at[slot],
+                scale_ref.at[pl.ds(base, ps), :], s_buf.at[slot],
                 sem.at[slot, 2]).start()
-            pltpu.make_async_copy(
-                scale_ref.at[1, :, :, pl.ds(base, ps)], vs_buf.at[slot],
-                sem.at[slot, 3]).start()
 
     def wait_dma(slot):
         pltpu.make_async_copy(
@@ -100,18 +108,20 @@ def _make_dma_helpers(spec: CacheSpec, cache_ref, scale_ref, pt_ref,
             sem.at[slot, 1]).wait()
         if quant:
             pltpu.make_async_copy(
-                scale_ref.at[0, :, :, pl.ds(0, ps)], ks_buf.at[slot],
+                scale_ref.at[pl.ds(0, ps), :], s_buf.at[slot],
                 sem.at[slot, 2]).wait()
-            pltpu.make_async_copy(
-                scale_ref.at[1, :, :, pl.ds(0, ps)], vs_buf.at[slot],
-                sem.at[slot, 3]).wait()
+
+    expand = _expand_matrix(spec) if quant else None
 
     def load_kv(slot):
         if quant:
-            k = _dequant(k_buf[slot], ks_buf[slot], spec.quant_group,
-                         jnp.float32)
-            v = _dequant(v_buf[slot], vs_buf[slot], spec.quant_group,
-                         jnp.float32)
+            s = s_buf[slot]
+            k = jnp.concatenate([
+                _dequant_head(k_buf[slot][h], s, h, 0, spec, expand)[None]
+                for h in range(kvh)])
+            v = jnp.concatenate([
+                _dequant_head(v_buf[slot][h], s, h, 1, spec, expand)[None]
+                for h in range(kvh)])
         else:
             k = k_buf[slot].astype(jnp.float32)
             v = v_buf[slot].astype(jnp.float32)
@@ -138,7 +148,7 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                    q_ref, cache_ref, scale_ref,
                    slopes_ref,                       # inputs
                    o_ref,                            # output
-                   k_buf, v_buf, ks_buf, vs_buf, sem):
+                   k_buf, v_buf, s_buf, sem):
     """Each program handles ``seq_blk`` sequences: every page phase fires
     the whole block's slab DMAs before waiting, so seq_blk copies overlap
     (a one-sequence-per-program grid is DMA-latency-bound: TPU grids run
@@ -148,6 +158,7 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
     ps = spec.page_size
     base = pl.program_id(0) * seq_blk
     quant = spec.quantized
+    expand = _expand_matrix(spec) if quant else None
 
     ctxs = [ctx_ref[base + j] for j in range(seq_blk)]
     max_ctx = functools.reduce(jnp.maximum, ctxs)
@@ -166,11 +177,8 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                     v_buf.at[slot, j], sem.at[slot, j, 1]).start()
                 if quant:
                     pltpu.make_async_copy(
-                        scale_ref.at[0, :, :, pl.ds(o, ps)],
-                        ks_buf.at[slot, j], sem.at[slot, j, 2]).start()
-                    pltpu.make_async_copy(
-                        scale_ref.at[1, :, :, pl.ds(o, ps)],
-                        vs_buf.at[slot, j], sem.at[slot, j, 3]).start()
+                        scale_ref.at[pl.ds(o, ps), :],
+                        s_buf.at[slot, j], sem.at[slot, j, 2]).start()
 
     def wait_dma(slot, p_idx):
         for j in range(seq_blk):
@@ -184,11 +192,8 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                     v_buf.at[slot, j], sem.at[slot, j, 1]).wait()
                 if quant:
                     pltpu.make_async_copy(
-                        scale_ref.at[0, :, :, pl.ds(0, ps)],
-                        ks_buf.at[slot, j], sem.at[slot, j, 2]).wait()
-                    pltpu.make_async_copy(
-                        scale_ref.at[1, :, :, pl.ds(0, ps)],
-                        vs_buf.at[slot, j], sem.at[slot, j, 3]).wait()
+                        scale_ref.at[pl.ds(0, ps), :],
+                        s_buf.at[slot, j], sem.at[slot, j, 2]).wait()
 
     @pl.when(max_ctx > 0)
     def _():
@@ -216,16 +221,14 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
 
             wait_dma(slot, p_idx)
             if quant:
-                k = _dequant(
-                    k_buf[slot].reshape(seq_blk * kvh, ps, shd),
-                    ks_buf[slot].reshape(seq_blk * kvh,
-                                         spec.scale_groups, ps),
-                    spec.quant_group, jnp.float32)
-                v = _dequant(
-                    v_buf[slot].reshape(seq_blk * kvh, ps, shd),
-                    vs_buf[slot].reshape(seq_blk * kvh,
-                                         spec.scale_groups, ps),
-                    spec.quant_group, jnp.float32)
+                k = jnp.concatenate([
+                    _dequant_head(k_buf[slot, j, h], s_buf[slot, j],
+                                  h, 0, spec, expand)[None]
+                    for j in range(seq_blk) for h in range(kvh)])
+                v = jnp.concatenate([
+                    _dequant_head(v_buf[slot, j, h], s_buf[slot, j],
+                                  h, 1, spec, expand)[None]
+                    for j in range(seq_blk) for h in range(kvh)])
             else:
                 k = k_buf[slot].astype(jnp.float32).reshape(
                     seq_blk * kvh, ps, shd)
@@ -286,7 +289,7 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                     q_ref, cache_ref, scale_ref,
                     slopes_ref,                       # inputs
                     o_ref,                            # output
-                    k_buf, v_buf, ks_buf, vs_buf, sem):
+                    k_buf, v_buf, s_buf, sem):
     b = pl.program_id(0)
     qb = pl.program_id(1)
     kvh, shd = spec.num_kv_heads, spec.shd
@@ -302,7 +305,7 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     block_active = (qb * q_blk) < new_len
 
     start_dma, wait_dma, load_kv = _make_dma_helpers(
-        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, ks_buf, vs_buf,
+        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, s_buf,
         sem, _Row(b))
 
     @pl.when(block_active)
@@ -377,8 +380,8 @@ def _pad_q(q: jax.Array, spec: CacheSpec) -> jax.Array:
 
 
 def _scale_placeholder(spec: CacheSpec):
-    return jnp.zeros((2, spec.num_kv_heads, spec.scale_groups,
-                      spec.page_size), jnp.bfloat16)
+    # unused when the cache is unquantized; shape only has to be DMA-legal
+    return jnp.zeros((spec.page_size, 128), jnp.bfloat16)
 
 
 def _scratch_shapes(spec: CacheSpec, kv_dtype):
@@ -386,9 +389,9 @@ def _scratch_shapes(spec: CacheSpec, kv_dtype):
     return [
         pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
         pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
-        pltpu.VMEM((2, kvh, spec.scale_groups, ps), jnp.bfloat16),
-        pltpu.VMEM((2, kvh, spec.scale_groups, ps), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((2, ps, spec.scale_lanes if spec.quantized else 128),
+                   jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2, 3)),
     ]
 
 
@@ -407,7 +410,7 @@ def paged_decode_attention(
     """Decode attention over the paged cache; one new token per row."""
     b, num_q_heads, hd = q.shape
     shd = spec.shd
-    if scale_layer is None or scale_layer.ndim != 4:
+    if scale_layer is None or scale_layer.ndim != 2:
         scale_layer = _scale_placeholder(spec)
     q = _pad_q(q, spec)
     while seq_block > 1 and b % seq_block:
@@ -437,11 +440,10 @@ def paged_decode_attention(
         scratch_shapes=[
             pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
             pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
-            pltpu.VMEM((2, seq_block, kvh, spec.scale_groups, ps),
+            pltpu.VMEM((2, seq_block, ps,
+                        spec.scale_lanes if spec.quantized else 128),
                        jnp.bfloat16),
-            pltpu.VMEM((2, seq_block, kvh, spec.scale_groups, ps),
-                       jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, seq_block, 4)),
+            pltpu.SemaphoreType.DMA((2, seq_block, 3)),
         ],
     )
     out = pl.pallas_call(
@@ -476,7 +478,7 @@ def paged_prefill_attention(
     shd = spec.shd
     q_blk = min(q_block, qp)
     assert qp % q_blk == 0, (qp, q_blk)
-    if scale_layer is None or scale_layer.ndim != 4:
+    if scale_layer is None or scale_layer.ndim != 2:
         scale_layer = _scale_placeholder(spec)
     q = _pad_q(q, spec)
 

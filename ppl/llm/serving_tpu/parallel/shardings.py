@@ -20,7 +20,8 @@ KV heads shard across TP, ``llm_engine.cc:122-162``):
     norms                           replicated
     lm_head     [D, V]              P(None, 'tp')   column parallel
     kv cache    [2, KVH, S, hd]     P(None, 'tp', None, None)  per layer
-    kv scale    [2, KVH, g, S]      P(None, 'tp', None, None)  per layer
+    kv scale    [S, scale_lanes]    P(None, 'tp') when per-shard lanes are
+                                    128-aligned, else replicated  per layer
     count map   [slots, V]          replicated
 
 Constraints: ``num_kv_heads % tp == 0`` and ``intermediate_dim % tp == 0``
@@ -106,9 +107,25 @@ def cache_partition_spec() -> P:
     return P(None, "tp", None, None)
 
 
-def scale_partition_spec() -> P:
-    # per-layer scale [2, KVH, groups, S]: shard kv heads
-    return P(None, "tp", None, None)
+def scale_partition_spec(cfg: Optional[ModelConfig] = None,
+                         spec: Optional[CacheSpec] = None,
+                         tp_size: int = 1) -> P:
+    """Per-layer packed scale rows [S, scale_lanes].
+
+    Lane order is (head, k|v, group), so sharding the lane axis by tp
+    splits whole heads — but only when each shard's lane count is a
+    128-lane multiple (Mosaic DMA needs a 128-aligned local minor dim).
+    Otherwise replicate: the array is tiny next to the int8 cache and
+    the redundant scatter work is per-token trivial (XLA inserts a small
+    all-gather of the per-token scales)."""
+    if spec is not None and tp_size > 1:
+        lanes_per_shard = (spec.num_kv_heads // tp_size
+                           ) * spec.scale_lane_stride
+        if lanes_per_shard % 128 == 0 and (
+                spec.num_kv_heads * spec.scale_lane_stride
+                == spec.scale_lanes):
+            return P(None, "tp")
+    return P(None, None)
 
 
 def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
@@ -138,8 +155,9 @@ def shard_engine_state(mesh: Mesh, cfg: ModelConfig, spec: CacheSpec,
 
     params = jax.tree.map(put, params, param_partition_specs(cfg, params))
     kv_cache = [put(c, cache_partition_spec()) for c in kv_cache]
-    if kv_scale and kv_scale[0].ndim == 4:
-        kv_scale = [put(s, scale_partition_spec()) for s in kv_scale]
+    if kv_scale and kv_scale[0].ndim == 2:
+        sspec = scale_partition_spec(cfg, spec, mesh.devices.size)
+        kv_scale = [put(s, sspec) for s in kv_scale]
     else:  # dummy placeholders when unquantized
         kv_scale = [put(s, P(None)) for s in kv_scale]
     count_map = put(count_map, P(None, None))

@@ -24,8 +24,10 @@ def test_init_shapes():
     qspec = make_spec(quant_bit=8, quant_group=8)
     cache, scale = kv_ops.init_cache(qspec)
     assert cache[0].dtype == jnp.int8
-    # scales slot-minor (transposed) for 128-aligned kernel DMA slices
-    assert scale[0].shape == (2, 2, 1, 9 * 4)
+    # packed-row scales [slots, lanes]: lane order (head, k|v, group)
+    # padded to 128 so writes are dense row scatters and kernel page
+    # DMAs slice a 128-aligned minor dim
+    assert scale[0].shape == (9 * 4, 128)
 
 
 def test_storage_head_dim_padding():

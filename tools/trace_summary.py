@@ -37,23 +37,25 @@ def load_xplanes(trace_dir):
     return spaces
 
 
-def device_op_times(xspace):
-    """{op_name: (total_ps, count)} aggregated over device-side lines."""
+def device_op_times(xspace, line_name="XLA Ops"):
+    """{op_name: (total_ps, count)} from one device trace line.
+
+    Lines on the TPU device plane:
+      'XLA Ops'       exclusive per-op compute time (sums to module time)
+      'Async XLA Ops' DMA/copy activity (OVERLAPS compute; don't add to
+                      the ops line)
+      'XLA Modules'   whole-executable spans (one per jit dispatch)
+    """
     out = collections.defaultdict(lambda: [0, 0])
     for plane in xspace.planes:
         name = plane.name
-        # TPU device planes: '/device:TPU:0' or 'TPU:0 (pid..)'-style;
-        # skip host python/runtime planes
         if "TPU" not in name and "device" not in name.lower():
             continue
         if "host" in name.lower():
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry the per-op breakdown; step/module lines
-            # would double count
-            if "step" in lname or "module" in lname:
+            if line.name != line_name:
                 continue
             for ev in line.events:
                 nm = ev_meta.get(ev.metadata_id, "?")
@@ -90,6 +92,13 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--group", action="store_true",
                     help="aggregate by op category")
+    ap.add_argument("--filter", default="",
+                    help="only ops whose name matches this regex")
+    ap.add_argument("--wide", action="store_true",
+                    help="show 140-char op names")
+    ap.add_argument("--line", default="XLA Ops",
+                    choices=["XLA Ops", "Async XLA Ops", "XLA Modules"],
+                    help="device trace line to aggregate")
     args = ap.parse_args()
 
     spaces = load_xplanes(args.trace_dir)
@@ -99,9 +108,13 @@ def main():
 
     total = collections.defaultdict(lambda: [0, 0])
     for path, xs in spaces:
-        for op, (ps, n) in device_op_times(xs).items():
+        for op, (ps, n) in device_op_times(xs, line_name=args.line).items():
             total[op][0] += ps
             total[op][1] += n
+
+    if args.filter:
+        pat = re.compile(args.filter)
+        total = {k: v for k, v in total.items() if pat.search(k)}
 
     if args.group:
         grouped = collections.defaultdict(lambda: [0, 0])
@@ -111,14 +124,15 @@ def main():
             g[1] += n
         total = grouped
 
+    width = 140 if args.wide else 64
     rows = sorted(total.items(), key=lambda kv: -kv[1][0])
     all_ms = sum(ps for ps, _ in total.values()) / 1e9
-    print(f"{'op':<64} {'ms':>10} {'%':>6} {'count':>8}")
+    print(f"{'op':<{width}} {'ms':>10} {'%':>6} {'count':>8}")
     for op, (ps, n) in rows[: args.top]:
         ms = ps / 1e9
         pct = 100 * ms / all_ms if all_ms else 0
-        print(f"{op[:64]:<64} {ms:>10.3f} {pct:>6.1f} {n:>8}")
-    print(f"{'TOTAL(device op time)':<64} {all_ms:>10.3f}")
+        print(f"{op[:width]:<{width}} {ms:>10.3f} {pct:>6.1f} {n:>8}")
+    print(f"{'TOTAL(shown scope)':<{width}} {all_ms:>10.3f}")
 
 
 if __name__ == "__main__":
