@@ -258,6 +258,11 @@ class ResourceConfig:
     # Attention kernel-variant selection (TPU analog of the reference's
     # decoding-attention engine knobs, resource_manager.cc:74-112).
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret"
+    # Sequences per decode-kernel program: each page phase fires the
+    # whole block's DMAs before waiting, hiding DMA latency (TPU grids
+    # run sequentially). The analog of the reference's decoding-attn
+    # thread-per-block knob (ENGINE_CONF_DECODING_ATTN_TPB).
+    attention_seq_block: int = 4
 
     # Sampling candidate-set cap: top-k/top-p sample from the top-cap
     # logits via lax.top_k instead of a full-vocab sort (exact for

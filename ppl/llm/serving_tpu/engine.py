@@ -139,6 +139,9 @@ class LLMEngine:
             attn_impl=attn_impl,
             quant_impl=quant_impl,
             top_k_cap=self.top_k_cap)
+        if attn_impl in ("pallas", "pallas_interpret"):
+            self._step_kwargs["seq_block"] = (
+                resource_cfg.attention_seq_block)
         self._clear_slots = jax.jit(
             sampling_ops.clear_count_slots, donate_argnums=(0,))
         self._multi_step = max(1, resource_cfg.multi_step)

@@ -203,7 +203,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  quant_method: str = "none",
                  attn_impl: str = "xla",
                  quant_impl: str = "xla",
-                 top_k_cap: int = 0):
+                 top_k_cap: int = 0,
+                 seq_block: int = 4):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
@@ -286,6 +287,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             if use_pallas:
                 attn_d = (pallas_attn.paged_decode_attention(
                     q[:bd], cache_l, sl, pt_decode, ctx_decode, spec,
+                    seq_block=seq_block,
                     interpret=interpret, alibi=slopes) if bd else
                     jnp.zeros((0, n_q, hd), compute_dtype))
                 attn_p = (pallas_attn.paged_prefill_attention(
