@@ -73,6 +73,7 @@ def main():
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
                       else "none"),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
+        attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "4")),
     )
     gen_cfg = GeneratorConfig(
         max_running_batch=4 * batch, max_prefill_batch=batch,

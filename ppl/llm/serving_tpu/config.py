@@ -199,6 +199,16 @@ class GeneratorConfig:
     max_cooldown_request: int = 2
     enable_prefix_cache: bool = False
     max_prefill_batch: int = 64
+    # Decode-block pipeline depth: how many further decode blocks may be
+    # speculatively dispatched (device-fed tokens) beyond the one in
+    # flight. Depth d trades up to d*multi_step steps of post-finish
+    # waste for keeping the device fed when per-block host work exceeds
+    # device block time. 0 disables speculation. Depth 2 is correct
+    # (CPU-verified token-identical) but measured pathological through
+    # the tunneled single-chip runtime, which appears to block the third
+    # in-flight dispatch on pending donated buffers; revisit on directly
+    # attached chips.
+    speculative_blocks: int = 1
     enable_profiling: bool = False
     # device tracing: capture a jax.profiler trace of steps
     # [trace_start_step, trace_start_step + trace_num_steps) into trace_dir

@@ -27,6 +27,7 @@ import dataclasses
 import logging
 import queue
 import threading
+from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
@@ -120,7 +121,12 @@ class LLMGenerator:
         self._decode_state: Dict[int, StreamDetokenizer] = {}
         self._decode_future: Optional[Future] = None
 
-        self._spec_handle = None  # (engine handle, task snapshot)
+        # speculative decode-block pipeline: dispatched-ahead blocks
+        # (engine handle, task snapshot), deepest first consumed. Depth >1
+        # keeps the device fed when per-block host work (dispatch RPC +
+        # token fetch + bookkeeping) exceeds one block's device time.
+        self._spec_queue: "deque" = deque()
+        self._spec_depth = max(0, gen_cfg.speculative_blocks)
         self._wake = threading.Condition()
         self._active = True
         self._thread = threading.Thread(target=self._thread_func,
@@ -451,7 +457,7 @@ class LLMGenerator:
             prof = self.profiler
             with TimingGuard() as prep_t:
                 while True:
-                    if (self._spec_handle is not None
+                    if (self._spec_queue
                             or res.running_batch >= cfg.max_running_batch
                             or res.prefill_batch >= cfg.max_prefill_batch
                             or self._cooldown > 0):
@@ -472,43 +478,47 @@ class LLMGenerator:
 
             tasks = self._tid_list
             try:
-                if self._spec_handle is not None:
-                    # consume the speculatively dispatched block (same
-                    # task membership by construction)
-                    handle, tasks = self._spec_handle
-                    self._spec_handle = None
+                if self._spec_queue:
+                    # consume the earliest speculatively dispatched block
+                    # (same task membership by construction)
+                    handle, tasks = self._spec_queue.popleft()
                 else:
                     plan = self.engine.build_plan(tasks)
                     if self._plan_channel is not None:
                         plan = self._plan_channel(plan)
                     handle = self.engine.dispatch_plan(plan, profiler=prof)
                 # speculative pipelining: while this block runs on device,
-                # dispatch the NEXT decode block with device-fed tokens so
-                # the fetch/H2D host latency overlaps device compute. Only
-                # when membership cannot change: decode-only block, empty
-                # queue, no pending cancels, and every task outlives the
-                # current block (no LENGTH finishes inside it).
+                # dispatch up to ``speculative_blocks`` FURTHER decode
+                # blocks with device-fed tokens so the fetch/H2D host
+                # latency overlaps device compute. Only when membership
+                # cannot change: decode-only blocks, empty queue, no
+                # pending cancels, and every task outlives all dispatched
+                # blocks (no LENGTH finishes inside them).
                 n = handle["n_steps"]
                 if (n > 1 and not handle["prefill_idx"]
                         and self.sched.get_pending_size() == 0
-                        and self._finished.empty()
-                        and all(t.rest_iters > n and not t.early_stopping
-                                for t in tasks)):
-                    adv = [dataclasses.replace(
-                        t, start_pos=t.start_pos + n,
-                        rest_iters=t.rest_iters - n,
-                        next_tokens=[0]) for t in tasks]
-                    spec_plan = self.engine.build_plan(adv)
-                    spec_plan["feed_device_tokens"] = True
-                    if self._plan_channel is not None:
-                        spec_plan = self._plan_channel(spec_plan)
-                    self._spec_handle = (
-                        self.engine.dispatch_plan(spec_plan), tasks)
+                        and self._finished.empty()):
+                    while len(self._spec_queue) < self._spec_depth:
+                        ahead = (len(self._spec_queue) + 1) * n
+                        if not all(t.rest_iters > ahead
+                                   and not t.early_stopping
+                                   for t in tasks):
+                            break
+                        adv = [dataclasses.replace(
+                            t, start_pos=t.start_pos + ahead,
+                            rest_iters=t.rest_iters - ahead,
+                            next_tokens=[0]) for t in tasks]
+                        spec_plan = self.engine.build_plan(adv)
+                        spec_plan["feed_device_tokens"] = True
+                        if self._plan_channel is not None:
+                            spec_plan = self._plan_channel(spec_plan)
+                        self._spec_queue.append(
+                            (self.engine.dispatch_plan(spec_plan), tasks))
                 tokens, logprobs = self.engine.fetch_plan_result(
                     handle, profiler=prof)
             except Exception as e:  # engine failure fails all running tasks
                 logger.exception("engine execute failed")
-                self._spec_handle = None
+                self._spec_queue.clear()
                 if self._decode_future is not None:
                     self._decode_future.result()
                     self._decode_future = None

@@ -183,14 +183,21 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
     QUANT_METHOD_ONLINE_I8I8 and leaves embeddings alone)."""
     from ..ops import quant as quant_ops
 
+    import numpy as np
+
     new_layers = []
     for lp in params["layers"]:
         nl = {k: v for k, v in lp.items()
               if k not in ("wqkv", "wo", "w_gate_up", "w_down")}
         for name in ("wqkv", "wo", "w_gate_up", "w_down"):
             q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
-            nl[name + "_q"] = q
-            nl[name + "_s"] = s
+            # host round-trip pins the DEFAULT (row-major) device layout:
+            # the quantize computation may hand back a transposed layout
+            # (traced: s8 w_gate_up stored {0,1}), and the Pallas matmul's
+            # operand layout constraint then forces a full relayout copy
+            # of the weight EVERY step (~0.5 ms per 22 MB on v5e)
+            nl[name + "_q"] = jnp.asarray(np.asarray(q))
+            nl[name + "_s"] = jnp.asarray(np.asarray(s))
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers

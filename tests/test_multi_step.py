@@ -101,6 +101,27 @@ def test_speculative_pipeline_equivalence():
         gen8.shutdown()
 
 
+def test_speculation_depth_equivalence():
+    """The N-deep speculative block queue must be token-identical to no
+    speculation at every depth (depth >1 is CPU-verified here; on the
+    tunneled single-chip runtime it is disabled by default)."""
+    from test_generator_e2e import build, make_gen_cfg
+    results = {}
+    for depth in (0, 2):
+        gen_cfg = make_gen_cfg()
+        gen_cfg.speculative_blocks = depth
+        gen, conn = build(gen_cfg=gen_cfg,
+                          resource_kw=dict(multi_step=8))
+        try:
+            reqs = [req(i, prompt=f"depth {i}", gen_len=32)
+                    for i in range(2)]
+            run(gen, conn, reqs)
+            results[depth] = {i: list(conn.tokens[i]) for i in range(2)}
+        finally:
+            gen.shutdown()
+    assert results[0] == results[2]
+
+
 def test_speculation_not_used_with_early_stopping():
     """Stop-token-eligible requests never speculate (guard condition) and
     still finish correctly."""

@@ -30,6 +30,11 @@ def main():
                              "multi-host serving")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    # Working implementation of the reference's dead --monitor-port flag
+    # (llm_server.cc:89-90 parses it; nothing serves it there)
+    parser.add_argument("--monitor-port", type=int, default=0,
+                        help="serve Prometheus metrics on this port "
+                             "(0 = off)")
     args = parser.parse_args()
     setup_logging()
     # crash backtraces (reference installs a SIGSEGV/FPE/ILL handler,
@@ -64,6 +69,9 @@ def main():
     conn = GRPCConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,
                              kv_max, plan_channel=plan_channel)
+    if args.monitor_port:
+        from ppl.llm.serving_tpu.serving.metrics import MetricsServer
+        MetricsServer(generator.profiler, args.monitor_port).start()
     server = GRPCServer(conn, generator.process, generator.clear_task)
     server.init(args.host, args.port)
     print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
