@@ -69,7 +69,7 @@ def main():
         kv_cache_max_tokens=kv_tokens,
         token_buckets=(prompt_len, 2 * prompt_len, 8192),
         batch_buckets=(batch, 4 * batch),
-        multi_step=16,
+        multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
                       else "none"),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
@@ -81,6 +81,7 @@ def main():
         max_input_tokens_per_request=4096,
         max_output_tokens_per_request=4096,
         max_total_tokens_per_request=8192,
+        speculative_blocks=int(os.environ.get("BENCH_SPEC_BLOCKS", "1")),
         enable_profiling=bool(int(os.environ.get("BENCH_PROFILE", "0"))),
         # BENCH_TRACE_DIR: capture a jax.profiler trace of mid-run decode
         # steps (analyze with tools/trace_summary.py)
@@ -118,18 +119,30 @@ def main():
           file=sys.stderr, flush=True)
     time.sleep(0.5)
 
-    # measured run
-    reqs = make_reqs(0, batch)
+    # measured run: several waves for timing resolution (one wave is ~1 s
+    # at current speeds; per-wave elapsed excludes inter-wave idle)
+    n_waves = int(os.environ.get("BENCH_WAVES", "3"))
     first_token_ts = {}
-    t_start = time.perf_counter()
     conn._on_first_token = lambda tid: first_token_ts.setdefault(
         tid, time.perf_counter())
-    conn.set_wanted(len(reqs))
-    for r in reqs:
-        gen.process(r)
-    ok = conn.wait(timeout=1800)
-    elapsed = time.perf_counter() - t_start
-    print(f"[bench] measured {elapsed:.2f}s", file=sys.stderr, flush=True)
+    elapsed = 0.0
+    wave_reqs = []
+    ok = True
+    for w in range(n_waves):
+        reqs = make_reqs(w * batch, batch)
+        wave_reqs.append(reqs)
+        t_start = time.perf_counter()
+        if w == 0:
+            t_start0 = t_start
+        conn.set_wanted(len(reqs))
+        for r in reqs:
+            gen.process(r)
+        ok = conn.wait(timeout=1800)
+        elapsed += time.perf_counter() - t_start
+        if not ok:
+            break
+    print(f"[bench] measured {elapsed:.2f}s over {n_waves} waves",
+          file=sys.stderr, flush=True)
     gen.shutdown()
     if not ok:
         print(json.dumps({"metric": "output_tokens_per_sec_per_chip",
@@ -137,6 +150,8 @@ def main():
                           "vs_baseline": 0, "error": "timeout"}))
         return
 
+    reqs = wave_reqs[0]
+    t_start = t_start0
     out_tokens = sum(len(v) for k, v in conn.tokens.items() if k < 10_000)
     tps = out_tokens / elapsed
     ttfts = sorted(first_token_ts[r.id] - t_start for r in reqs

@@ -186,18 +186,20 @@ class LLMEngine:
         return np.concatenate(parts)
 
     def _get_packed_runner(self, n_steps: int, feed: bool,
-                           bd: int, bp: int, qp: int, kvp: int):
-        key = (n_steps, feed, bd, bp, qp, kvp)
+                           bd: int, bp: int, qp: int, kvp: int,
+                           greedy: bool = False):
+        key = (n_steps, feed, bd, bp, qp, kvp, greedy)
         fn = self._packed_cache.get(key)
         if fn is not None:
             return fn
         b = bd + bp
+        kwargs = dict(self._step_kwargs, greedy_only=greedy)
         if n_steps > 1:
             inner = llama.make_multi_step_fn(
-                self.model_cfg, self.spec, n_steps, **self._step_kwargs)
+                self.model_cfg, self.spec, n_steps, **kwargs)
         else:
             inner = llama.make_step_fn(
-                self.model_cfg, self.spec, **self._step_kwargs)
+                self.model_cfg, self.spec, **kwargs)
         shapes = {
             "decode_tokens": (bd,), "decode_pos": (bd,),
             "prefill_tokens": (bp, qp), "prefill_start": (bp,),
@@ -330,7 +332,7 @@ class LLMEngine:
         temperature = np.ones(b, np.float32)
         top_k = np.ones(b, np.int32)
         top_p = np.zeros(b, np.float32)
-        do_sample = np.zeros(b, bool)
+        do_sample = np.zeros(b, bool)  # padding rows: greedy
         rep_pen = np.ones(b, np.float32)
         pres_pen = np.zeros(b, np.float32)
         freq_pen = np.zeros(b, np.float32)
@@ -368,6 +370,10 @@ class LLMEngine:
         return {
             "n_steps": n_steps,
             "n_tasks": len(tasks),
+            # static greedy fast path: every row argmaxes (do_sample False
+            # covers padding rows too), so the compiled step can skip
+            # candidate top-k selection entirely (ops/sampling.py)
+            "greedy": not any(do_sample),
             "bd": bd,
             "decode_idx": decode_idx,
             "prefill_idx": prefill_idx,
@@ -427,7 +433,8 @@ class LLMEngine:
             packed = jnp.asarray(packed_np)
         feed = bool(plan.get("feed_device_tokens")
                     and self._last_final_tokens is not None)
-        runner = self._get_packed_runner(n_steps, feed, bd, bp, qp, kvp)
+        runner = self._get_packed_runner(n_steps, feed, bd, bp, qp, kvp,
+                                         greedy=plan.get("greedy", False))
         rng = jax.random.fold_in(self._rng, self._step_counter)
         self._step_counter += 1
         t1 = time.perf_counter_ns()

@@ -166,6 +166,29 @@ def _make_matmul(use_i8i8: bool, quant_impl: str = "xla"):
     return matmul
 
 
+def _make_gate_up_act(matmul, use_i8i8: bool):
+    """silu(gate) * up from the fused [D, 2, I] weight.
+
+    Float path: the einsum is written output-layout ``cti`` ([2, T, I])
+    — a ``tci`` output makes XLA produce the dot in layout {2,0,1} and
+    insert a relayout copy of the full [T, 2, I] activation per layer
+    per step (traced at ~25% of decode-block device time at b64). With
+    the steps axis leading, ``gu[0]``/``gu[1]`` are layout-free slices,
+    and axis 2 (the TP-sharded I axis) is untouched so sharding rules
+    are identical."""
+    if use_i8i8:
+        def gate_up_act(h, p):
+            gu = matmul(h, p, "w_gate_up")          # [T, 2, I]
+            return jax.nn.silu(gu[:, 0]) * gu[:, 1]
+        return gate_up_act
+
+    def gate_up_act(h, p):
+        gu = jnp.einsum("td,dci->cti", h, p["w_gate_up"],
+                        preferred_element_type=jnp.float32)
+        return jax.nn.silu(gu[0]) * gu[1]
+    return gate_up_act
+
+
 class StepOutput(NamedTuple):
     tokens: jax.Array     # i32[B]
     logprobs: jax.Array   # f32[B]
@@ -211,7 +234,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  attn_impl: str = "xla",
                  quant_impl: str = "xla",
                  top_k_cap: int = 0,
-                 seq_block: int = 4):
+                 seq_block: int = 4,
+                 greedy_only: bool = False):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
@@ -234,6 +258,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     use_alibi = cfg.position_encoding == "alibi"
     slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
     attn_bias = cfg.attn_bias
+    gate_up_act = _make_gate_up_act(matmul, use_i8i8)
 
     def step(params, kv_cache, kv_scale, count_map,
              inp: StepInput, rng: jax.Array) -> StepOutput:
@@ -319,8 +344,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             x = x + o.astype(compute_dtype)
 
             h = rms_norm(x, p["ffn_norm"], eps)
-            gate_up = matmul(h, p, "w_gate_up")    # [T, 2, I]
-            act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
+            act = gate_up_act(h, p)
             down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
             return x, cache_l, scale_l
@@ -352,7 +376,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 logits, count_map, inp.batch_slots, inp.sampling)
 
         tokens, logprobs = sampling_ops.sample_top_k_top_p(
-            logits, inp.sampling, rng, top_k_cap=top_k_cap)
+            logits, inp.sampling, rng, top_k_cap=top_k_cap,
+            greedy_only=greedy_only)
         return StepOutput(tokens, logprobs, kv_cache, kv_scale, count_map,
                           logits if return_logits else None)
 
@@ -382,6 +407,7 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
     use_alibi = cfg.position_encoding == "alibi"
     slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
     attn_bias = cfg.attn_bias
+    gate_up_act = _make_gate_up_act(matmul, use_i8i8)
 
     def nll(params, kv_cache, kv_scale, tokens, n_valid, page_table):
         """tokens i32[L] (padded), n_valid i32[], page_table i32[1, P] ->
@@ -425,8 +451,7 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
                 o = o + p["bo"].astype(o.dtype)
             x = x + o.astype(compute_dtype)
             h = rms_norm(x, p["ffn_norm"], eps)
-            gate_up = matmul(h, p, "w_gate_up")
-            act = jax.nn.silu(gate_up[:, 0]) * gate_up[:, 1]
+            act = gate_up_act(h, p)
             down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
         x = rms_norm(x, params["final_norm"], eps)

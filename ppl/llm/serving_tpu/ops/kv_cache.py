@@ -4,18 +4,29 @@ TPU-native replacement for the reference's four CUDA cache layouts
 (``llm_engine.cc:122-162``): ONE canonical paged layout chosen for TPU
 gather/scatter efficiency (SURVEY.md section 7.3 "pick one"):
 
-    cache:  [num_layers, 2, num_kv_heads, num_slots, head_dim]
-    scale:  [num_layers, 2, num_kv_heads, num_slots, head_dim // group]
+    cache:  per layer [num_kv_heads, num_slots, 2 * shd]   (k|v PACKED)
+    scale:  per layer [num_slots, scale_lanes]             (packed rows)
 
-where ``num_slots = (num_pages + 1) * page_size`` — flat token slots, so a
-(page, offset) pair addresses slot ``page * page_size + offset``. With the
-head axis OUTSIDE the slot axis, one (head, page) tile is a contiguous
-``[page_size, head_dim]`` block — the Pallas attention kernels stream
-pages HBM->VMEM with single contiguous DMAs (this is the TPU analog of
-the reference's cache_layout knob; layout chosen for the kernel, not
-ported). The extra page at index ``num_pages`` is the *trash page*:
-writes from padding tokens land there, which keeps every step's scatter
-fully dense (no predication) at the cost of one wasted page.
+where ``num_slots = (num_pages + 1) * page_size`` — flat token slots, so
+a (page, offset) pair addresses slot ``page * page_size + offset``. Each
+slot row packs that token's K vector in lanes ``[0, shd)`` and its V
+vector in lanes ``[shd, 2*shd)`` (``shd`` = head_dim rounded up to 64
+lanes so the packed row is a 128-lane multiple). Three wins over a
+separate-K/V padded layout (all traced on v5e):
+
+- zero lane padding for head_dim 64 (k|v fill the 128-lane tile exactly;
+  a 128-padded separate layout DOUBLES attention DMA bytes with zeros),
+- ONE page DMA fetches both K and V (half the DMA count / latency),
+- the per-step scatter writes one row per (head, token) instead of two.
+
+With the head axis OUTSIDE the slot axis, one (head, page) tile is a
+contiguous ``[page_size, 2*shd]`` block — the Pallas attention kernels
+stream pages HBM->VMEM with single strided-slab DMAs (this is the TPU
+analog of the reference's cache_layout knob; layout chosen for the
+kernel, not ported). The extra page at index ``num_pages`` is the
+*trash page*: writes from padding tokens land there, which keeps every
+step's scatter fully dense (no predication) at the cost of one wasted
+page.
 
 KV heads are the tensor-parallel sharding axis (reference shards
 ``num_kv_heads / tp`` in every cache shape, ``llm_engine.cc:122-162``).
@@ -44,15 +55,21 @@ class CacheSpec:
     quant_bit: int = 0  # 0 (= dtype below) or 8 (int8 + per-group scales)
     quant_group: int = 1
     dtype: jnp.dtype = jnp.bfloat16
-    # Physical minor-dim of the cache. TPU HBM layouts tile the minor dim
-    # to 128 lanes regardless, so padding head_dim<128 up to 128 costs no
-    # extra memory and is REQUIRED for the Pallas kernels' page DMAs
-    # (Mosaic rejects sub-128 minor-dim HBM slices). None = head_dim.
+    # Storage lanes per K (or V) half of the packed row. The packed row
+    # is [k(shd) | v(shd)] = 2*shd lanes, which must be a 128-multiple
+    # for the Pallas kernels' page DMAs (Mosaic rejects sub-128 /
+    # unaligned minor-dim HBM slices) -> shd = head_dim rounded up to a
+    # 64-lane multiple. None = head_dim (XLA reference path, any value).
     storage_head_dim: Optional[int] = None
 
     @property
     def shd(self) -> int:
         return self.storage_head_dim or self.head_dim
+
+    @property
+    def row_lanes(self) -> int:
+        """Packed k|v row width."""
+        return 2 * self.shd
 
     @property
     def num_slots(self) -> int:
@@ -109,7 +126,7 @@ def init_cache(spec: CacheSpec):
     """
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
     cache = [jnp.zeros(
-        (2, spec.num_kv_heads, spec.num_slots, spec.shd), dtype=kv_dtype)
+        (spec.num_kv_heads, spec.num_slots, spec.row_lanes), dtype=kv_dtype)
         for _ in range(spec.num_layers)]
     scale = None
     if spec.quantized:
@@ -157,44 +174,48 @@ def token_slots(page_table: jax.Array, positions: jax.Array,
     return pages * page_size + offset
 
 
+def pack_kv_rows(k: jax.Array, v: jax.Array, spec: CacheSpec) -> jax.Array:
+    """[T, KVH, hd] k and v -> packed rows [T, KVH, 2*shd] = [k | v],
+    each half zero-padded to ``shd`` lanes."""
+    pad = spec.shd - k.shape[-1]
+    if pad:
+        padding = ((0, 0),) * (k.ndim - 1) + ((0, pad),)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+    return jnp.concatenate([k, v], axis=-1)
+
+
 def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
               k: jax.Array, v: jax.Array, slots: jax.Array,
               spec: CacheSpec) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scatter this step's new K/V into one layer's cache at ``slots``.
 
-    cache_layer: [2, kv_heads, num_slots, head_dim] (int8 or dtype)
+    cache_layer: [kv_heads, num_slots, 2*shd] packed k|v rows
     k, v: [T, kv_heads, head_dim] in compute dtype
     slots: i32[T] (padding tokens -> trash-page slots)
     """
-    # FLAT-VIEW row scatter: scatter into a [2*KVH*S, head_dim] reshape
-    # with computed row indices. A multi-axis `.at[0, :, slots]` scatter
-    # makes XLA prefer a non-default operand layout and insert a FULL
+    # FLAT-VIEW row scatter: scatter into a [KVH*S, 2*shd] reshape with
+    # computed row indices. A multi-axis `.at[:, slots]` scatter makes
+    # XLA prefer a non-default operand layout and insert a FULL
     # cache-layer relayout copy per call (~1.2 ms per 262 MB layer on
     # v5e, traced) — the dominant cost of a decode step. The flat form
     # scatters whole rows in the native layout (reshape is a bitcast).
     kvh = spec.num_kv_heads
-    s_slots = cache_layer.shape[2]
-    t = slots.shape[0]
+    s_slots = cache_layer.shape[1]
 
     def row_ids():
-        # [2, KVH, T]: row (c, h, t) = ((c * KVH) + h) * S + slots[t]
-        ch = jnp.arange(2 * kvh, dtype=slots.dtype)[:, None] * s_slots
-        return (ch + slots[None, :]).reshape(-1)
+        # [KVH, T]: row (h, t) = h * S + slots[t]
+        h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * s_slots
+        return (h + slots[None, :]).reshape(-1)
 
-    def pack(a, b):
-        # k [T, KVH, shd], v [T, KVH, shd] -> [2*KVH*T, shd] in row order
-        return jnp.stack([a, b]).transpose(0, 2, 1, 3).reshape(-1,
-                                                               a.shape[-1])
-
+    t = slots.shape[0]
     if spec.quantized:
         qk, sk = quantize_kv(k, spec.quant_group)
         qv, sv = quantize_kv(v, spec.quant_group)
-        if spec.shd != spec.head_dim:
-            pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
-            qk = jnp.pad(qk, pad)
-            qv = jnp.pad(qv, pad)
-        flat = cache_layer.reshape(2 * kvh * s_slots, spec.shd)
-        flat = flat.at[row_ids()].set(pack(qk, qv))
+        rows = pack_kv_rows(qk, qv, spec)          # [T, KVH, 2*shd] int8
+        flat = cache_layer.reshape(kvh * s_slots, spec.row_lanes)
+        flat = flat.at[row_ids()].set(
+            rows.transpose(1, 0, 2).reshape(-1, spec.row_lanes))
         cache_layer = flat.reshape(cache_layer.shape)
         # packed-row scale layout: one [scale_lanes] row per slot in lane
         # order (head, k|v, group) — a dense row scatter, exactly like the
@@ -206,13 +227,11 @@ def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
                 packed, ((0, 0), (0, spec.scale_lanes - packed.shape[1])))
         scale_layer = scale_layer.at[slots].set(packed)
     else:
-        if spec.shd != spec.head_dim:
-            pad = ((0, 0), (0, 0), (0, spec.shd - spec.head_dim))
-            k = jnp.pad(k, pad)
-            v = jnp.pad(v, pad)
         dt = cache_layer.dtype
-        flat = cache_layer.reshape(2 * kvh * s_slots, spec.shd)
-        flat = flat.at[row_ids()].set(pack(k.astype(dt), v.astype(dt)))
+        rows = pack_kv_rows(k.astype(dt), v.astype(dt), spec)
+        flat = cache_layer.reshape(kvh * s_slots, spec.row_lanes)
+        flat = flat.at[row_ids()].set(
+            rows.transpose(1, 0, 2).reshape(-1, spec.row_lanes))
         cache_layer = flat.reshape(cache_layer.shape)
     return cache_layer, scale_layer
 
@@ -229,19 +248,22 @@ def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
     base = page_table[..., None] * spec.page_size + jnp.arange(
         spec.page_size, dtype=page_table.dtype)
     slots = base.reshape(b, p * spec.page_size)
-    # [2, KVH, S, shd][0, :, slots[B, KV]]: scalar + array advanced indices
-    # broadcast and land first -> [B, KV, KVH, shd]; slice off storage pad
-    k = cache_layer[0, :, slots][..., :spec.head_dim]
-    v = cache_layer[1, :, slots][..., :spec.head_dim]
+    # [KVH, S, 2*shd][:, slots[B, KV]] -> advanced index on axis 1 with a
+    # leading basic slice lands the gathered axes after KVH; transpose to
+    # [B, KV, KVH, lanes] and unpack the k|v halves
+    rows_kv = cache_layer[:, slots]                  # [KVH, B, KV, 2*shd]
+    rows_kv = rows_kv.transpose(1, 2, 0, 3)
+    k = rows_kv[..., :spec.head_dim]
+    v = rows_kv[..., spec.shd:spec.shd + spec.head_dim]
     if spec.quantized:
         # packed-row scale layout [S, lanes]: gather rows, unpack lane
         # order (head, k|v, group) -> [B, KV, KVH, 2, G]
-        rows = scale_layer[slots][
+        srows = scale_layer[slots][
             ..., : spec.num_kv_heads * spec.scale_lane_stride]
-        rows = rows.reshape(b, p * spec.page_size, spec.num_kv_heads, 2,
-                            spec.scale_groups)
-        k = dequantize_kv(k, rows[..., 0, :], spec.quant_group, dtype)
-        v = dequantize_kv(v, rows[..., 1, :], spec.quant_group, dtype)
+        srows = srows.reshape(b, p * spec.page_size, spec.num_kv_heads, 2,
+                              spec.scale_groups)
+        k = dequantize_kv(k, srows[..., 0, :], spec.quant_group, dtype)
+        v = dequantize_kv(v, srows[..., 1, :], spec.quant_group, dtype)
     else:
         k = k.astype(dtype)
         v = v.astype(dtype)

@@ -8,11 +8,21 @@ ops/attention.py copies every gathered page into a dense [B, KV, H, hd]
 intermediate, doubling HBM traffic; decode is bandwidth-bound so that
 factor-2 is the whole ballgame).
 
+Cache layout: PACKED k|v rows ``[KVH, num_slots, 2*shd]`` (see
+ops/kv_cache.py). Each page slab DMA ``[KVH, page_size, 2*shd]`` fetches
+both K and V in one transfer; for head_dim 64 the 128-lane row is fully
+dense (the previous separate-K/V layout padded each to 128 lanes, which
+DOUBLED attention DMA bytes with zeros — decode attention is pure DMA).
+Q and the attention output stay at the true head_dim (no lane-pad
+copies; the pad of q to 128 lanes was traced at ~20% of decode-block
+device time). The k/v halves are read out of the packed rows with VMEM
+lane slices, which Mosaic supports at arbitrary offsets.
+
 Kernel shape:
-- grid over the batch; each program handles one sequence row,
-- per KV page one strided-slab DMA pulls [KVH, page_size, hd] (each
-  (head, page) tile contiguous thanks to the head-major cache layout),
-  double-buffered so DMA overlaps compute,
+- grid over the batch; each decode program handles ``seq_block``
+  sequences — every page phase fires the whole block's slab DMAs before
+  waiting, so the copies overlap (TPU grids run sequentially on the
+  core; a one-sequence-per-program grid is DMA-latency-bound),
 - online-softmax (flash) accumulation across pages,
 - GQA: scores computed batched over KV heads: [KVH, G, hd] x
   [KVH, ps, hd] -> [KVH, G, ps] on the MXU,
@@ -20,18 +30,15 @@ Kernel shape:
   int8 pages also HALVE the DMA bytes, which is the real win. Scales
   live in packed rows [num_slots, scale_lanes] (lane order (head, k|v,
   group), 128-padded) so one extra row-slab DMA per page fetches every
-  head's scales AND the host-side scale write is a dense row scatter
-  (the slot-minor layout used previously made XLA relayout-copy the
-  whole scale array on every scatter — 75% of int8 decode time). The
-  per-element expansion is a one-hot matmul (s @ E), since Mosaic
+  head's scales AND the host-side scale write is a dense row scatter.
+  The per-element expansion is a one-hot matmul (s @ E), since Mosaic
   cannot shape-cast the 128-lane axis into (groups, group).
 
 Hardware constraints honored here (probed on v5e):
-- HBM DMA slices need a >=128, 128-aligned minor dim -> the cache stores
-  head_dim padded up to 128 (``CacheSpec.storage_head_dim``; physically
-  free, XLA tiles HBM minor dims to 128 anyway) and wrappers pad q /
-  slice outputs. Zero-padded lanes contribute zeros to every dot product,
-  so no extra masking is needed.
+- HBM DMA slices need a >=128, 128-aligned minor dim -> the packed row
+  is 2*shd lanes with shd = head_dim rounded up to 64.
+- VMEM operand blocks (q, output) have no such restriction — Mosaic
+  tiles partial minor dims transparently, so q rides in at true hd.
 
 The page loop runs to the page-table width with ``@pl.when`` masking, so
 KV length is data, not shape — no recompiles as context grows
@@ -54,92 +61,35 @@ _NEG_INF = -1e30
 
 
 def _expand_matrix(spec: CacheSpec):
-    """[G, shd] one-hot: E[i, j] = [j // group == i]; padded storage
-    lanes (j >= groups * group) match no group and dequantize to 0."""
-    ng, shd, group = spec.scale_groups, spec.shd, spec.quant_group
-    return (jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 1) // group
-            == jax.lax.broadcasted_iota(jnp.int32, (ng, shd), 0)
-            ).astype(jnp.float32)
+    """[2G, 2*shd] one-hot for packed-row dequant: row i < G covers the
+    K half's group i lanes, row G+i the V half's group i lanes. Padding
+    lanes (>= head_dim within a half) match no group and dequantize
+    to 0."""
+    ng, group = spec.scale_groups, spec.quant_group
+    shd, lanes = spec.shd, spec.row_lanes
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (2 * ng, lanes), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (2 * ng, lanes), 1)
+    in_v = iota_j >= shd
+    j_half = jnp.where(in_v, iota_j - shd, iota_j)
+    target = jnp.where(in_v, ng + j_half // group, j_half // group)
+    valid = j_half < spec.head_dim
+    return ((target == iota_i) & valid).astype(jnp.float32)
 
 
-def _dequant_head(vals_h, s_slab, h: int, c: int, spec: CacheSpec, expand):
-    """One head's page slab: int8 vals_h [ps, shd] x packed scale rows
-    s_slab [ps, scale_lanes] -> f32 [ps, shd].
+def _dequant_row(vals, s_slab, h: int, spec: CacheSpec, expand):
+    """One head's packed page slab: int8 vals [ps, 2*shd] x its slice of
+    the packed scale rows s_slab [ps, scale_lanes] -> f32 [ps, 2*shd].
 
-    Lane order of the packed rows is (head, k|v, group) — see
-    kv_cache.init_cache. The [ps, G] lane slice expands to per-element
-    scales with the one-hot matmul (Mosaic cannot shape-cast the lane
-    axis into (groups, group))."""
-    off = h * spec.scale_lane_stride + c * spec.scale_groups
-    s = s_slab[:, off: off + spec.scale_groups].astype(jnp.float32)
+    Lane order of the scale rows is (head, k|v, group) — head h's k AND
+    v group scales are the contiguous ``2*scale_groups`` lanes starting
+    at ``h * scale_lane_stride``, so one slice + one one-hot matmul
+    dequantizes the whole packed row."""
+    off = h * spec.scale_lane_stride
+    s = s_slab[:, off: off + 2 * spec.scale_groups].astype(jnp.float32)
     s_full = jax.lax.dot_general(
         s, expand, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [ps, shd]
-    return vals_h.astype(jnp.float32) * s_full
-
-
-def _make_dma_helpers(spec: CacheSpec, cache_ref, scale_ref, pt_ref,
-                      k_buf, v_buf, s_buf, sem, row_ref):
-    """start/wait DMA closures for one (k, v [, scale-rows]) page slab."""
-    ps = spec.page_size
-    quant = spec.quantized
-    kvh = spec.num_kv_heads
-
-    def start_dma(slot, p_idx):
-        page = pt_ref[row_ref[0], p_idx]
-        base = page * ps
-        pltpu.make_async_copy(
-            cache_ref.at[0, :, pl.ds(base, ps), :], k_buf.at[slot],
-            sem.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            cache_ref.at[1, :, pl.ds(base, ps), :], v_buf.at[slot],
-            sem.at[slot, 1]).start()
-        if quant:
-            pltpu.make_async_copy(
-                scale_ref.at[pl.ds(base, ps), :], s_buf.at[slot],
-                sem.at[slot, 2]).start()
-
-    def wait_dma(slot):
-        pltpu.make_async_copy(
-            cache_ref.at[0, :, pl.ds(0, ps), :], k_buf.at[slot],
-            sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            cache_ref.at[1, :, pl.ds(0, ps), :], v_buf.at[slot],
-            sem.at[slot, 1]).wait()
-        if quant:
-            pltpu.make_async_copy(
-                scale_ref.at[pl.ds(0, ps), :], s_buf.at[slot],
-                sem.at[slot, 2]).wait()
-
-    expand = _expand_matrix(spec) if quant else None
-
-    def load_kv(slot):
-        if quant:
-            s = s_buf[slot]
-            k = jnp.concatenate([
-                _dequant_head(k_buf[slot][h], s, h, 0, spec, expand)[None]
-                for h in range(kvh)])
-            v = jnp.concatenate([
-                _dequant_head(v_buf[slot][h], s, h, 1, spec, expand)[None]
-                for h in range(kvh)])
-        else:
-            k = k_buf[slot].astype(jnp.float32)
-            v = v_buf[slot].astype(jnp.float32)
-        return k, v
-
-    return start_dma, wait_dma, load_kv
-
-
-class _Row:
-    """Trivial holder so DMA helpers can read the current batch row."""
-
-    __slots__ = ("v",)
-
-    def __init__(self, v):
-        self.v = v
-
-    def __getitem__(self, _):
-        return self.v
+        preferred_element_type=jnp.float32)                 # [ps, 2*shd]
+    return vals.astype(jnp.float32) * s_full
 
 
 def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
@@ -148,12 +98,12 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                    q_ref, cache_ref, scale_ref,
                    slopes_ref,                       # inputs
                    o_ref,                            # output
-                   k_buf, v_buf, s_buf, sem):
+                   kv_buf, s_buf, sem):
     """Each program handles ``seq_blk`` sequences: every page phase fires
     the whole block's slab DMAs before waiting, so seq_blk copies overlap
     (a one-sequence-per-program grid is DMA-latency-bound: TPU grids run
     sequentially on the core)."""
-    kvh, shd = spec.num_kv_heads, spec.shd
+    kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
     g = num_q_heads // kvh
     ps = spec.page_size
     base = pl.program_id(0) * seq_blk
@@ -170,36 +120,31 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                 page = pt_ref[base + j, p_idx]
                 o = page * ps
                 pltpu.make_async_copy(
-                    cache_ref.at[0, :, pl.ds(o, ps), :],
-                    k_buf.at[slot, j], sem.at[slot, j, 0]).start()
-                pltpu.make_async_copy(
-                    cache_ref.at[1, :, pl.ds(o, ps), :],
-                    v_buf.at[slot, j], sem.at[slot, j, 1]).start()
+                    cache_ref.at[:, pl.ds(o, ps), :],
+                    kv_buf.at[slot, j], sem.at[slot, j, 0]).start()
                 if quant:
                     pltpu.make_async_copy(
                         scale_ref.at[pl.ds(o, ps), :],
-                        s_buf.at[slot, j], sem.at[slot, j, 2]).start()
+                        s_buf.at[slot, j], sem.at[slot, j, 1]).start()
 
     def wait_dma(slot, p_idx):
         for j in range(seq_blk):
             @pl.when(p_idx * ps < ctxs[j])
             def _():
                 pltpu.make_async_copy(
-                    cache_ref.at[0, :, pl.ds(0, ps), :],
-                    k_buf.at[slot, j], sem.at[slot, j, 0]).wait()
-                pltpu.make_async_copy(
-                    cache_ref.at[1, :, pl.ds(0, ps), :],
-                    v_buf.at[slot, j], sem.at[slot, j, 1]).wait()
+                    cache_ref.at[:, pl.ds(0, ps), :],
+                    kv_buf.at[slot, j], sem.at[slot, j, 0]).wait()
                 if quant:
                     pltpu.make_async_copy(
                         scale_ref.at[pl.ds(0, ps), :],
-                        s_buf.at[slot, j], sem.at[slot, j, 2]).wait()
+                        s_buf.at[slot, j], sem.at[slot, j, 1]).wait()
 
     @pl.when(max_ctx > 0)
     def _():
-        # [seq_blk, Hq, shd] -> [seq_blk*KVH, G, shd]
-        q = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, shd)
-        q = q * (spec.head_dim ** -0.5)
+        # [seq_blk, Hq, hd] -> [seq_blk*KVH, G, hd] (true head_dim; no
+        # lane padding — the packed-row k half is sliced to match)
+        q = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, hd)
+        q = q * (hd ** -0.5)
 
         start_dma(0, 0)
 
@@ -221,19 +166,15 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
 
             wait_dma(slot, p_idx)
             if quant:
-                k = jnp.concatenate([
-                    _dequant_head(k_buf[slot, j, h], s_buf[slot, j],
-                                  h, 0, spec, expand)[None]
-                    for j in range(seq_blk) for h in range(kvh)])
-                v = jnp.concatenate([
-                    _dequant_head(v_buf[slot, j, h], s_buf[slot, j],
-                                  h, 1, spec, expand)[None]
+                rows = jnp.concatenate([
+                    _dequant_row(kv_buf[slot, j, h], s_buf[slot, j],
+                                 h, spec, expand)[None]
                     for j in range(seq_blk) for h in range(kvh)])
             else:
-                k = k_buf[slot].astype(jnp.float32).reshape(
-                    seq_blk * kvh, ps, shd)
-                v = v_buf[slot].astype(jnp.float32).reshape(
-                    seq_blk * kvh, ps, shd)
+                rows = kv_buf[slot].astype(jnp.float32).reshape(
+                    seq_blk * kvh, ps, 2 * shd)
+            k = rows[..., :hd]
+            v = rows[..., shd:shd + hd]
 
             # rows whose sequence has no page at this phase read buffers
             # that were never DMA'd (uninitialized VMEM; may hold NaN/inf
@@ -266,7 +207,7 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                 preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((seq_blk * kvh, g, shd), jnp.float32)
+        acc0 = jnp.zeros((seq_blk * kvh, g, hd), jnp.float32)
         m0 = jnp.full((seq_blk * kvh, g), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((seq_blk * kvh, g), jnp.float32)
         n_pages = pl.cdiv(max_ctx, ps)
@@ -275,12 +216,12 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
         out = acc / jnp.maximum(l, 1e-30)[..., None]
         # zero rows whose ctx == 0 (padding sequences inside the block)
         out = jnp.where(ctx_b > 0, out, 0.0)
-        o_ref[...] = out.reshape(seq_blk, num_q_heads, shd).astype(
+        o_ref[...] = out.reshape(seq_blk, num_q_heads, hd).astype(
             o_ref.dtype)
 
     @pl.when(max_ctx <= 0)
     def _():
-        o_ref[...] = jnp.zeros((seq_blk, num_q_heads, shd), o_ref.dtype)
+        o_ref[...] = jnp.zeros((seq_blk, num_q_heads, hd), o_ref.dtype)
 
 
 def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
@@ -289,12 +230,14 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                     q_ref, cache_ref, scale_ref,
                     slopes_ref,                       # inputs
                     o_ref,                            # output
-                    k_buf, v_buf, s_buf, sem):
+                    kv_buf, s_buf, sem):
     b = pl.program_id(0)
     qb = pl.program_id(1)
-    kvh, shd = spec.num_kv_heads, spec.shd
+    kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
     g = num_q_heads // kvh
     ps = spec.page_size
+    quant = spec.quantized
+    expand = _expand_matrix(spec) if quant else None
     start = start_ref[b]
     new_len = newlen_ref[b]
     ctx = start + new_len
@@ -304,17 +247,33 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     n_pages = pl.cdiv(kv_hi, ps)
     block_active = (qb * q_blk) < new_len
 
-    start_dma, wait_dma, load_kv = _make_dma_helpers(
-        spec, cache_ref, scale_ref, pt_ref, k_buf, v_buf, s_buf,
-        sem, _Row(b))
+    def start_dma(slot, p_idx):
+        page = pt_ref[b, p_idx]
+        o = page * ps
+        pltpu.make_async_copy(
+            cache_ref.at[:, pl.ds(o, ps), :], kv_buf.at[slot],
+            sem.at[slot, 0]).start()
+        if quant:
+            pltpu.make_async_copy(
+                scale_ref.at[pl.ds(o, ps), :], s_buf.at[slot],
+                sem.at[slot, 1]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(
+            cache_ref.at[:, pl.ds(0, ps), :], kv_buf.at[slot],
+            sem.at[slot, 0]).wait()
+        if quant:
+            pltpu.make_async_copy(
+                scale_ref.at[pl.ds(0, ps), :], s_buf.at[slot],
+                sem.at[slot, 1]).wait()
 
     @pl.when(block_active)
     def _():
-        # q block [q_blk, Hq, shd] -> [KVH, G*q_blk, shd] (head-major)
+        # q block [q_blk, Hq, hd] -> [KVH, G*q_blk, hd] (head-major)
         q = q_ref[0].astype(jnp.float32)
-        q = q.reshape(q_blk, kvh, g, shd).transpose(1, 2, 0, 3).reshape(
-            kvh, g * q_blk, shd)
-        q = q * (spec.head_dim ** -0.5)
+        q = q.reshape(q_blk, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
+            kvh, g * q_blk, hd)
+        q = q * (hd ** -0.5)
         # row j of the [G*q_blk] flattened block is (g=j//q_blk,
         # i=j%q_blk); its absolute position is q0 + i
         i_in_blk = jax.lax.broadcasted_iota(
@@ -333,7 +292,15 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                 start_dma((p_idx + 1) % 2, p_idx + 1)
 
             wait_dma(slot)
-            k, v = load_kv(slot)
+            if quant:
+                rows = jnp.concatenate([
+                    _dequant_row(kv_buf[slot, h], s_buf[slot],
+                                 h, spec, expand)[None]
+                    for h in range(kvh)])            # [KVH, ps, 2*shd]
+            else:
+                rows = kv_buf[slot].astype(jnp.float32)
+            k = rows[..., :hd]
+            v = rows[..., shd:shd + hd]
 
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
@@ -357,26 +324,19 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                 preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
-        acc0 = jnp.zeros((kvh, g * q_blk, shd), jnp.float32)
+        acc0 = jnp.zeros((kvh, g * q_blk, hd), jnp.float32)
         m0 = jnp.full((kvh, g * q_blk), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((kvh, g * q_blk), jnp.float32)
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
         out = acc / jnp.maximum(l, 1e-30)[..., None]
-        out = out.reshape(kvh, g, q_blk, shd).transpose(2, 0, 1, 3).reshape(
-            q_blk, num_q_heads, shd)
+        out = out.reshape(kvh, g, q_blk, hd).transpose(2, 0, 1, 3).reshape(
+            q_blk, num_q_heads, hd)
         o_ref[0] = out.astype(o_ref.dtype)
 
     @pl.when(jnp.logical_not(block_active))
     def _():
-        o_ref[0] = jnp.zeros((q_blk, num_q_heads, shd), o_ref.dtype)
-
-
-def _pad_q(q: jax.Array, spec: CacheSpec) -> jax.Array:
-    if spec.shd == spec.head_dim:
-        return q
-    pad = [(0, 0)] * (q.ndim - 1) + [(0, spec.shd - spec.head_dim)]
-    return jnp.pad(q, pad)
+        o_ref[0] = jnp.zeros((q_blk, num_q_heads, hd), o_ref.dtype)
 
 
 def _scale_placeholder(spec: CacheSpec):
@@ -384,20 +344,9 @@ def _scale_placeholder(spec: CacheSpec):
     return jnp.zeros((spec.page_size, 128), jnp.bfloat16)
 
 
-def _scratch_shapes(spec: CacheSpec, kv_dtype):
-    kvh, ps = spec.num_kv_heads, spec.page_size
-    return [
-        pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
-        pltpu.VMEM((2, kvh, ps, spec.shd), kv_dtype),
-        pltpu.VMEM((2, ps, spec.scale_lanes if spec.quantized else 128),
-                   jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((2, 3)),
-    ]
-
-
 def paged_decode_attention(
     q: jax.Array,                 # [B, Hq, hd]
-    cache_layer: jax.Array,       # [2, KVH, S, shd] (int8 or float)
+    cache_layer: jax.Array,       # [KVH, S, 2*shd] packed (int8 or float)
     scale_layer: Optional[jax.Array],
     page_table: jax.Array,        # i32[B, P]
     context_len: jax.Array,       # i32[B]
@@ -409,10 +358,8 @@ def paged_decode_attention(
 ) -> jax.Array:
     """Decode attention over the paged cache; one new token per row."""
     b, num_q_heads, hd = q.shape
-    shd = spec.shd
     if scale_layer is None or scale_layer.ndim != 2:
         scale_layer = _scale_placeholder(spec)
-    q = _pad_q(q, spec)
     while seq_block > 1 and b % seq_block:
         seq_block //= 2
 
@@ -427,40 +374,39 @@ def paged_decode_attention(
         num_scalar_prefetch=2,
         grid=(b // seq_block,),
         in_specs=[
-            pl.BlockSpec((seq_block, num_q_heads, shd),
+            pl.BlockSpec((seq_block, num_q_heads, hd),
                          lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes [KVH, G]
         ],
-        out_specs=pl.BlockSpec((seq_block, num_q_heads, shd),
+        out_specs=pl.BlockSpec((seq_block, num_q_heads, hd),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
-            pltpu.VMEM((2, seq_block, kvh, ps, shd), cache_layer.dtype),
+            pltpu.VMEM((2, seq_block, kvh, ps, spec.row_lanes),
+                       cache_layer.dtype),
             pltpu.VMEM((2, seq_block, ps,
                         spec.scale_lanes if spec.quantized else 128),
                        jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, seq_block, 3)),
+            pltpu.SemaphoreType.DMA((2, seq_block, 2)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, num_q_heads, shd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, num_q_heads, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(page_table, context_len, q, cache_layer, scale_layer, slopes)
-    return out[..., :hd]
 
 
 def paged_prefill_attention(
     q: jax.Array,                 # [Bp, Qp, Hq, hd]
-    cache_layer: jax.Array,       # [2, KVH, S, shd]
+    cache_layer: jax.Array,       # [KVH, S, 2*shd] packed
     scale_layer: Optional[jax.Array],
     page_table: jax.Array,        # i32[Bp, P]
     start: jax.Array,             # i32[Bp]
@@ -475,14 +421,12 @@ def paged_prefill_attention(
     start > 0 (prefix-cache-hit continuation). This step's K/V must
     already be in the cache."""
     bp, qp, num_q_heads, hd = q.shape
-    shd = spec.shd
     q_blk = min(q_block, qp)
     assert qp % q_blk == 0, (qp, q_blk)
     if scale_layer is None or scale_layer.ndim != 2:
         scale_layer = _scale_placeholder(spec)
-    q = _pad_q(q, spec)
 
-    kvh = spec.num_kv_heads
+    kvh, ps = spec.num_kv_heads, spec.page_size
     g = num_q_heads // kvh
     has_alibi = alibi is not None
     # expanded to the kernel's [KVH, G*q_blk] flattened-q layout (col j
@@ -496,25 +440,30 @@ def paged_prefill_attention(
         num_scalar_prefetch=3,
         grid=(bp, qp // q_blk),
         in_specs=[
-            pl.BlockSpec((1, q_blk, num_q_heads, shd),
+            pl.BlockSpec((1, q_blk, num_q_heads, hd),
                          lambda b, qb, *_: (b, qb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes
         ],
-        out_specs=pl.BlockSpec((1, q_blk, num_q_heads, shd),
+        out_specs=pl.BlockSpec((1, q_blk, num_q_heads, hd),
                                lambda b, qb, *_: (b, qb, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_scratch_shapes(spec, cache_layer.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kvh, ps, spec.row_lanes), cache_layer.dtype),
+            pltpu.VMEM((2, ps,
+                        spec.scale_lanes if spec.quantized else 128),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bp, qp, num_q_heads, shd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, qp, num_q_heads, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(page_table, start, new_len, q, cache_layer, scale_layer, slopes)
-    return out[..., :hd]

@@ -103,8 +103,8 @@ def param_partition_specs(cfg: ModelConfig,
 
 
 def cache_partition_spec() -> P:
-    # per-layer cache [2, KVH, S, hd]: shard kv heads
-    return P(None, "tp", None, None)
+    # per-layer cache [KVH, S, 2*shd] (packed k|v rows): shard kv heads
+    return P("tp", None, None)
 
 
 def scale_partition_spec(cfg: Optional[ModelConfig] = None,

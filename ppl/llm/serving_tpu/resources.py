@@ -56,8 +56,8 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
                 kv_cache_max_tokens, free)
 
     # resolve the attention impl here so the cache layout matches it:
-    # the Pallas kernels need the storage minor dim padded to 128 lanes
-    # (physically free; XLA tiles HBM minor dims to 128 regardless)
+    # the Pallas kernels need the packed k|v row (2*shd lanes) to be a
+    # 128-lane multiple for page DMAs -> round each half up to 64 lanes
     attn_impl = resource_cfg.attention_impl
     if attn_impl == "auto":
         attn_impl = ("pallas" if jax.default_backend() not in ("cpu",)
@@ -65,8 +65,8 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
     resource_cfg.attention_impl = attn_impl
     storage_hd = None
     if (attn_impl in ("pallas", "pallas_interpret")
-            and model_cfg.head_dim % 128):
-        storage_hd = -(-model_cfg.head_dim // 128) * 128
+            and model_cfg.head_dim % 64):
+        storage_hd = -(-model_cfg.head_dim // 64) * 64
 
     spec = CacheSpec(
         num_layers=model_cfg.num_layers,

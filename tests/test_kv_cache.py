@@ -16,10 +16,10 @@ def make_spec(**kw):
 def test_init_shapes():
     spec = make_spec()
     cache, scale = kv_ops.init_cache(spec)
-    # per-layer list of [2, KVH, slots, hd]: head-major so a (head, page)
-    # tile is one contiguous [page_size, hd] block
+    # per-layer list of [KVH, slots, 2*shd] packed k|v rows: head-major
+    # so a (head, page) tile is one contiguous [page_size, 2*shd] block
     assert len(cache) == 2
-    assert cache[0].shape == (2, 2, 9 * 4, 8)
+    assert cache[0].shape == (2, 9 * 4, 16)
     assert scale is None
     qspec = make_spec(quant_bit=8, quant_group=8)
     cache, scale = kv_ops.init_cache(qspec)
@@ -31,9 +31,9 @@ def test_init_shapes():
 
 
 def test_storage_head_dim_padding():
-    spec = make_spec(storage_head_dim=128)
+    spec = make_spec(storage_head_dim=64)
     cache, _ = kv_ops.init_cache(spec)
-    assert cache[0].shape[-1] == 128
+    assert cache[0].shape[-1] == 128  # [k(64) | v(64)] packed row
     k = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 8))
     pt = jnp.array([[4]], jnp.int32)
     slots = kv_ops.token_slots(pt, jnp.arange(3), jnp.zeros(3, jnp.int32),
@@ -42,7 +42,8 @@ def test_storage_head_dim_padding():
     # padded lanes stay zero; logical lanes round-trip
     gk, _ = kv_ops.gather_pages(layer0, None, pt, spec, jnp.float32)
     np.testing.assert_allclose(gk[0, :3], k, rtol=1e-6)
-    assert float(jnp.abs(layer0[0, :, :, 8:]).max()) == 0.0
+    assert float(jnp.abs(layer0[:, :, 8:64]).max()) == 0.0
+    assert float(jnp.abs(layer0[:, :, 64 + 8:]).max()) == 0.0
 
 
 def test_token_slots():
@@ -76,17 +77,20 @@ def test_append_and_gather_roundtrip():
 
 def test_page_contiguity():
     """The layout contract the Pallas kernels rely on: one (head, page)
-    tile is contiguous [page_size, head_dim]."""
+    tile is contiguous [page_size, 2*shd] with k in the first half of
+    each row and v in the second."""
     spec = make_spec()
     cache, _ = kv_ops.init_cache(spec)
     k = jnp.arange(4 * 2 * 8, dtype=jnp.float32).reshape(4, 2, 8)
+    v = -k
     pt = jnp.array([[5]], jnp.int32)
     slots = kv_ops.token_slots(pt, jnp.arange(4), jnp.zeros(4, jnp.int32),
                                spec.page_size)
-    layer0, _ = kv_ops.append_kv(cache[0], None, k, k, slots, spec)
-    # head h, page 5 lives at layer0[0, h, 20:24, :]
+    layer0, _ = kv_ops.append_kv(cache[0], None, k, v, slots, spec)
+    # head h, page 5 lives at layer0[h, 20:24, :]
     for h in range(2):
-        np.testing.assert_allclose(layer0[0, h, 20:24, :], k[:, h, :])
+        np.testing.assert_allclose(layer0[h, 20:24, :8], k[:, h, :])
+        np.testing.assert_allclose(layer0[h, 20:24, 8:16], v[:, h, :])
 
 
 def test_quantize_roundtrip_error():

@@ -134,3 +134,18 @@ def test_top_k_cap_sampling_support():
     toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(1),
                                    top_k_cap=64)
     assert set(np.asarray(toks).tolist()) <= {0, 1}
+
+
+def test_greedy_only_fast_path_matches_general():
+    """The static greedy_only variant must match the general path
+    token-for-token and logprob-for-logprob on all-greedy batches."""
+    key = jax.random.PRNGKey(11)
+    logits = jax.random.normal(key, (32, 4096)) * 3
+    p = make_params(32, do_sample=jnp.zeros(32, bool),
+                    temperature=jnp.full(32, 0.7))
+    t_gen, lp_gen = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0),
+                                         top_k_cap=256)
+    t_fast, lp_fast = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(0),
+                                           top_k_cap=256, greedy_only=True)
+    np.testing.assert_array_equal(t_fast, t_gen)
+    np.testing.assert_allclose(lp_fast, lp_gen, rtol=1e-4)

@@ -80,7 +80,7 @@ def test_tp_cache_sharded_and_updated():
     _, _, out = run_step(mesh=mesh)
     # cache stays sharded on the kv-head axis after the step
     spec_set = out.kv_cache[0].sharding.spec
-    assert spec_set[1] == "tp"
+    assert spec_set[0] == "tp"
     # and the prefill actually wrote into pages 0/1
     assert np.abs(np.asarray(out.kv_cache[0][0, :, :20])).sum() > 0
 
