@@ -73,7 +73,7 @@ def main():
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
                       else "none"),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
-        attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "4")),
+        attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),
     )
     gen_cfg = GeneratorConfig(
         max_running_batch=4 * batch, max_prefill_batch=batch,
@@ -92,6 +92,9 @@ def main():
     )
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
     conn = LocalConnection()
+    if gen_cfg.enable_profiling:
+        from ppl.llm.serving_tpu.profiler import print_profiler
+        conn.on_profiling = lambda p: print_profiler(p)
     gen = LLMGenerator(model_cfg, gen_cfg, engine, ByteTokenizer(), conn,
                        kv_max)
 

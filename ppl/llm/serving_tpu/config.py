@@ -272,7 +272,9 @@ class ResourceConfig:
     # whole block's DMAs before waiting, hiding DMA latency (TPU grids
     # run sequentially). The analog of the reference's decoding-attn
     # thread-per-block knob (ENGINE_CONF_DECODING_ATTN_TPB).
-    attention_seq_block: int = 4
+    # Swept on v5e at b64/TinyLlama: 4 -> 9504, 8 -> 10047 tok/s,
+    # 16 -> collapse (VMEM spill); 8 is the default.
+    attention_seq_block: int = 8
 
     # Sampling candidate-set cap: top-k/top-p sample from the top-cap
     # logits via lax.top_k instead of a full-vocab sort (exact for

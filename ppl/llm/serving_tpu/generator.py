@@ -536,9 +536,14 @@ class LLMGenerator:
                 n_prefill_tokens = 0
                 # tokens/logprobs are [n_steps, batch]: n_steps > 1 when the
                 # engine ran a decode-only multi-step block; tokens emitted
-                # after a request's finish inside the block are discarded
+                # after a request's finish inside the block are discarded.
+                # One bulk tolist() beats per-element numpy scalar reads
+                # (~1024 of them per block) by ~5x.
+                tokens_l = tokens.tolist()
+                logprobs_l = logprobs.tolist()
                 finished_in_block = set()
                 for n in range(tokens.shape[0]):
+                    row_t, row_lp = tokens_l[n], logprobs_l[n]
                     for i, t in enumerate(tasks):
                         if t.tid in finished_in_block:
                             continue
@@ -546,8 +551,8 @@ class LLMGenerator:
                             # canceled between a speculative dispatch and
                             # this processing pass: drop its tokens
                             continue
-                        gen_token = int(tokens[n, i])
-                        logprob = float(logprobs[n, i])
+                        gen_token = row_t[i]
+                        logprob = row_lp[i]
                         t.gen_tokens_cnt += 1
                         prev_seqlen = len(t.next_tokens)
                         if n == 0 and prev_seqlen > 1:

@@ -79,6 +79,58 @@ _GROUP_PATTERNS = [
 ]
 
 
+def module_timeline(xspace, line_name="XLA Modules"):
+    """[(start_ps, dur_ps, name)] sorted by start, from the device plane.
+
+    Used by --timeline to separate device-busy time from device-idle
+    gaps (host not keeping the device fed) — per-op exclusive times
+    can't show gaps."""
+    events = []
+    for plane in xspace.planes:
+        name = plane.name
+        if "TPU" not in name and "device" not in name.lower():
+            continue
+        if "host" in name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != line_name:
+                continue
+            for ev in line.events:
+                events.append((ev.offset_ps, ev.duration_ps,
+                               ev_meta.get(ev.metadata_id, "?")))
+    events.sort()
+    return events
+
+
+def print_timeline(spaces):
+    import collections as C
+    for path, xs in spaces:
+        evs = module_timeline(xs)
+        if not evs:
+            continue
+        print(f"== {path}")
+        span = (evs[-1][0] + evs[-1][1] - evs[0][0]) / 1e9
+        busy = sum(d for _, d, _ in evs) / 1e9
+        per_mod = C.defaultdict(lambda: [0, 0])
+        gaps = []
+        prev_end = None
+        for s, d, nm in evs:
+            per_mod[nm.split(".")[0]][0] += d
+            per_mod[nm.split(".")[0]][1] += 1
+            if prev_end is not None and s > prev_end:
+                gaps.append((s - prev_end) / 1e9)
+            prev_end = max(prev_end or 0, s + d)
+        print(f"span {span:.1f} ms, device busy {busy:.1f} ms "
+              f"({100 * busy / span:.0f}%), idle {span - busy:.1f} ms")
+        gaps.sort(reverse=True)
+        print("largest gaps (ms):",
+              " ".join(f"{g:.1f}" for g in gaps[:10]))
+        for nm, (ps, n) in sorted(per_mod.items(), key=lambda kv: -kv[1][0]):
+            print(f"  {nm[:70]:<70} {ps / 1e9:>9.2f} ms  n={n}  "
+                  f"avg {ps / 1e9 / n:.2f} ms")
+
+
 def group_name(op):
     for gname, pat in _GROUP_PATTERNS:
         if re.search(pat, op):
@@ -99,12 +151,18 @@ def main():
     ap.add_argument("--line", default="XLA Ops",
                     choices=["XLA Ops", "Async XLA Ops", "XLA Modules"],
                     help="device trace line to aggregate")
+    ap.add_argument("--timeline", action="store_true",
+                    help="module-level busy/idle timeline (host-gap "
+                         "detection)")
     args = ap.parse_args()
 
     spaces = load_xplanes(args.trace_dir)
     if not spaces:
         print(f"no xplane.pb found under {args.trace_dir}", file=sys.stderr)
         sys.exit(1)
+    if args.timeline:
+        print_timeline(spaces)
+        return
 
     total = collections.defaultdict(lambda: [0, 0])
     for path, xs in spaces:
