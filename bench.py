@@ -83,6 +83,10 @@ def main():
         max_total_tokens_per_request=8192,
         speculative_blocks=int(os.environ.get("BENCH_SPEC_BLOCKS", "1")),
         enable_profiling=bool(int(os.environ.get("BENCH_PROFILE", "0"))),
+        # BENCH_PROFILE=2: per-loop-step [PERF] blocks with timestamps
+        # (wave-time attribution)
+        profile_step_interval=(
+            1 if os.environ.get("BENCH_PROFILE") == "2" else 100),
         # BENCH_TRACE_DIR: capture a jax.profiler trace of mid-run decode
         # steps (analyze with tools/trace_summary.py)
         trace_dir=os.environ.get("BENCH_TRACE_DIR", ""),

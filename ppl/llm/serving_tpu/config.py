@@ -210,6 +210,10 @@ class GeneratorConfig:
     # attached chips.
     speculative_blocks: int = 1
     enable_profiling: bool = False
+    # profiler print cadence (loop steps); the reference prints on step 1,
+    # every 100 steps, and at drain (llm_generator.cc:768-780). Set to 1
+    # for per-step stage attribution when chasing wave-time structure.
+    profile_step_interval: int = 100
     # device tracing: capture a jax.profiler trace of steps
     # [trace_start_step, trace_start_step + trace_num_steps) into trace_dir
     trace_dir: str = ""

@@ -187,8 +187,8 @@ class LLMEngine:
 
     def _get_packed_runner(self, n_steps: int, feed: bool,
                            bd: int, bp: int, qp: int, kvp: int,
-                           greedy: bool = False):
-        key = (n_steps, feed, bd, bp, qp, kvp, greedy)
+                           greedy: bool = False, cont: bool = False):
+        key = (n_steps, feed, bd, bp, qp, kvp, greedy, cont)
         fn = self._packed_cache.get(key)
         if fn is not None:
             return fn
@@ -245,7 +245,20 @@ class LLMEngine:
                     presence_penalty=f["pres_pen"],
                     frequency_penalty=f["freq_pen"]))
 
-        if feed:
+        if cont:
+            # continuation runner: re-executes the SAME device-resident
+            # packed plan ``advance`` decode steps later — positions and
+            # context lengths advance on device, tokens are device-fed.
+            # Zero per-block host plan assembly or re-upload.
+            def runner(params, kv_cache, kv_scale, count_map, packed,
+                       advance, prev_tokens, rng):
+                f = unpack(packed)
+                f["decode_pos"] = f["decode_pos"] + advance
+                f["context_len"] = f["context_len"] + advance
+                inp = make_input(f, prev_tokens)
+                return inner(params, kv_cache, kv_scale, count_map, inp,
+                             rng)
+        elif feed:
             def runner(params, kv_cache, kv_scale, count_map, packed,
                        prev_tokens, rng):
                 inp = make_input(unpack(packed), prev_tokens)
@@ -467,7 +480,53 @@ class LLMEngine:
             c.model_forward_cost = (t2 - t1) // 1000
         return {"toks_dev": toks_dev, "lps_dev": lps_dev,
                 "n_steps": n_steps, "bd": bd, "n_tasks": plan["n_tasks"],
-                "decode_idx": decode_idx, "prefill_idx": prefill_idx}
+                "decode_idx": decode_idx, "prefill_idx": prefill_idx,
+                # continuation support (dispatch_continuation)
+                "packed_dev": packed, "advance": 0,
+                "bp": bp, "qp": qp, "kvp": kvp,
+                "greedy": plan.get("greedy", False)}
+
+    def continuation_fits(self, handle: Dict[str, Any],
+                          tasks: List[TaskState]) -> bool:
+        """True when another ``n_steps`` decode block after ``handle``
+        still fits the handle's page-table bucket (the only shape that can
+        grow across decode blocks)."""
+        n = handle["n_steps"]
+        adv = handle["advance"] + n
+        max_tok = max(t.start_pos + len(t.next_tokens) + adv + n - 1
+                      for t in tasks)
+        return -(-max_tok // self.spec.page_size) <= handle["kvp"]
+
+    def dispatch_continuation(self, handle: Dict[str, Any], profiler=None
+                              ) -> Dict[str, Any]:
+        """Dispatch the next decode block after ``handle`` with ZERO host
+        plan assembly: reuses the device-resident packed plan, advances
+        positions on device, feeds the base block's final sampled tokens.
+
+        The speculative-pipelining fast path: per-block host work drops to
+        one jit dispatch (vs build_plan + pack + H2D re-upload)."""
+        t0 = time.perf_counter_ns()
+        n_steps = handle["n_steps"]
+        adv = handle["advance"] + n_steps
+        runner = self._get_packed_runner(
+            n_steps, True, handle["bd"], handle["bp"], handle["qp"],
+            handle["kvp"], greedy=handle["greedy"], cont=True)
+        rng = jax.random.fold_in(self._rng, self._step_counter)
+        self._step_counter += 1
+        prev_tokens = handle["toks_dev"][-1]
+        toks_dev, lps_dev, self.kv_cache, self.kv_scale, self.count_map = (
+            runner(self._params, self.kv_cache, self.kv_scale,
+                   self.count_map, handle["packed_dev"],
+                   np.int32(adv), prev_tokens, rng))
+        self._last_final_tokens = toks_dev[-1]
+        toks_dev.copy_to_host_async()
+        lps_dev.copy_to_host_async()
+        t1 = time.perf_counter_ns()
+        if profiler is not None:
+            profiler.current.model_forward_cost = (t1 - t0) // 1000
+        out = dict(handle)
+        out.update(toks_dev=toks_dev, lps_dev=lps_dev, advance=adv)
+        return out
 
     def fetch_plan_result(self, handle: Dict[str, Any], profiler=None
                           ) -> Tuple[np.ndarray, np.ndarray]:

@@ -504,6 +504,17 @@ class LLMGenerator:
                                    and not t.early_stopping
                                    for t in tasks):
                             break
+                        base = (self._spec_queue[-1][0]
+                                if self._spec_queue else handle)
+                        if (self._plan_channel is None
+                                and self.engine.continuation_fits(
+                                    base, tasks)):
+                            # fast path: device-resident plan, positions
+                            # advanced on device, zero host re-assembly
+                            self._spec_queue.append(
+                                (self.engine.dispatch_continuation(base),
+                                 tasks))
+                            continue
                         adv = [dataclasses.replace(
                             t, start_pos=t.start_pos + ahead,
                             rest_iters=t.rest_iters - ahead,
@@ -600,7 +611,8 @@ class LLMGenerator:
                     self._trace_active = False
 
             if cfg.enable_profiling and (
-                    loop_step == 1 or loop_step % 100 == 0
+                    loop_step == 1
+                    or loop_step % cfg.profile_step_interval == 0
                     or not self._tid_list):
                 prof.running_task = running_batch
                 prof.prefill_batch = prefill_batch

@@ -50,7 +50,7 @@ def _pick_block_t(d: int, t: int, target_bytes: int = 1 << 20) -> int:
 
 
 def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _():
         x32 = x_ref[:].astype(jnp.float32)
         absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)   # [bt, 1]
@@ -60,11 +60,11 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
         xs_ref[:] = scale
 
     acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[:],
+        xq_ref[:], w_ref[:, 0, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                            # [bt, bn]
-    out_ref[:] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:]
+    out_ref[:, 0, :] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n",
@@ -79,38 +79,49 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
     """
     t, d = x.shape
     out_shape = w_q.shape[1:]
-    n = 1
-    for s in out_shape:
-        n *= s
-    w2 = w_q.reshape(d, n)
-    s2 = w_scale.reshape(1, n).astype(jnp.float32)
+    # Fused-weight matmuls (w_q [D, C, N], e.g. gate|up [D, 2, I]) keep
+    # their 3-D shape all the way into the kernel: the grid sweeps the C
+    # axis and each block DMA reads a [D, 1, bn] slab of the row-major
+    # array directly. Reshaping to [D, C*N] on the operand invites XLA to
+    # pick a non-default layout for the parameter and insert a full
+    # relayout copy of the int8 weight per call (traced ~3 ms per decode
+    # block on v5e).
+    if w_q.ndim == 3:
+        c, n = w_q.shape[1], w_q.shape[2]
+    else:
+        c, n = 1, 1
+        for s in out_shape:
+            n *= s
+        w_q = w_q.reshape(d, 1, n)
+    s3 = w_scale.reshape(1, c, n).astype(jnp.float32)
     bn = block_n or _pick_block_n(d, n)
     bt = block_t or _pick_block_t(d, t)
-    grid = (pl.cdiv(t, bt), pl.cdiv(n, bn))
+    grid = (pl.cdiv(t, bt), c, pl.cdiv(n, bn))
 
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, d), lambda i, j: (i, 0),
+            pl.BlockSpec((bt, d), lambda i, ci, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bn), lambda i, j: (0, j),
+            pl.BlockSpec((d, 1, bn), lambda i, ci, j: (0, ci, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, 1, bn), lambda i, ci, j: (0, ci, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bt, 1, bn), lambda i, ci, j: (i, ci, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, c, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bt, d), jnp.int8),
             pltpu.VMEM((bt, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * d * n,
-            bytes_accessed=d * n + t * d * x.dtype.itemsize + t * n * 4,
+            flops=2 * t * d * c * n,
+            bytes_accessed=d * c * n + t * d * x.dtype.itemsize
+            + t * c * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w2, s2)
+    )(x, w_q, s3)
     return out.reshape((t,) + out_shape)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
+import time
 from typing import Optional
 
 
@@ -97,7 +98,7 @@ def print_profiler(p: WorkerProfiler, file=None) -> None:
     def w(line):
         print(line, file=out)
 
-    w(f"[PERF] --- step {g.step_cnt} "
+    w(f"[PERF] --- step {g.step_cnt} @ {time.time():.3f} "
       "-------------------------------------------------")
     w(f"[PERF]  |- memory usage: ({p.dev_mem_total / 1e9:.2f} - "
       f"{p.dev_mem_free / 1e9:.2f}) -> "

@@ -122,6 +122,30 @@ def test_speculation_depth_equivalence():
     assert results[0] == results[2]
 
 
+def test_continuation_fast_path_fires():
+    """Deep speculation uses the device-resident continuation dispatch
+    (no host plan re-assembly) whenever the page bucket doesn't grow."""
+    from test_generator_e2e import build, make_gen_cfg
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    calls = {"cont": 0}
+    orig = gen.engine.dispatch_continuation
+
+    def counting(handle, profiler=None):
+        calls["cont"] += 1
+        return orig(handle, profiler=profiler)
+
+    gen.engine.dispatch_continuation = counting
+    try:
+        reqs = [req(i, prompt=f"cont {i}", gen_len=32) for i in range(2)]
+        run(gen, conn, reqs)
+        assert calls["cont"] > 0
+        assert all(len(conn.tokens[i]) == 32 for i in range(2))
+    finally:
+        gen.shutdown()
+
+
 def test_speculation_not_used_with_early_stopping():
     """Stop-token-eligible requests never speculate (guard condition) and
     still finish correctly."""
