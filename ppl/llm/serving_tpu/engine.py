@@ -107,8 +107,7 @@ class LLMEngine:
         if kv_scale is None:
             dt = (jnp.bfloat16 if model_cfg.dtype == "bfloat16"
                   else jnp.float32)
-            kv_scale = [jnp.zeros((1,), dt)
-                        for _ in range(spec.num_layers)]
+            kv_scale = jnp.zeros((1,), dt)
         self.kv_scale = kv_scale
         if enable_penalty:
             self.count_map = sampling_ops.init_count_map(

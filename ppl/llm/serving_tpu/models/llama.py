@@ -19,11 +19,14 @@ the reference's fused prefill+decode step (``llm_engine.h:40-95``'s
 - Sampling + penalties run in the same program; the sampled tokens are the
   only per-step device->host traffic.
 
-Weights and KV cache are PER-LAYER pytree lists and the layer loop is
-unrolled: per-layer cache arrays are donated and updated truly in place,
-whereas a stacked cache scanned with ``lax.scan`` forces XLA to assemble
-a fresh multi-GB ys buffer every step (measured ~80 ms/step of pure copy
-on v5e). QKV and gate/up are pre-fused into single matmuls (the reference
+Weights are PER-LAYER pytree lists, the KV cache is ONE stacked
+[L, ...] array, and the layer loop is unrolled: the donated cache
+updates truly in place (a stacked cache scanned with ``lax.scan`` would
+force XLA to assemble a fresh multi-GB ys buffer every step — measured
+~80 ms/step of pure copy on v5e), and decode-only steps write all
+layers' K/V in one fused scatter with the current token entering
+attention as a self-term. QKV and gate/up are pre-fused into single
+matmuls (the reference
 gets this from ppl.pmx's --fused_qkv export, ``docs/llama_guide.md:14-36``)
 but laid out so tensor-parallel sharding splits cleanly WITHOUT
 resharding:
@@ -106,8 +109,8 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
     params = {
         "embedding": w(keys[0], (cfg.vocab_size, d), 1.0),
-        # one dict per layer: the layer loop is UNROLLED (per-layer cache
-        # arrays update in place; a scanned stacked cache would be copied
+        # one dict per layer: the layer loop is UNROLLED (the donated
+        # cache updates in place; a scanned stacked cache would be copied
         # wholesale every step — see ops.kv_cache.init_cache)
         "layers": [make_layer(lk) for lk in layer_keys],
         "final_norm": jnp.ones((d,), dtype),
@@ -178,8 +181,10 @@ def _make_gate_up_act(matmul, use_i8i8: bool):
     are identical."""
     if use_i8i8:
         def gate_up_act(h, p):
-            gu = matmul(h, p, "w_gate_up")          # [T, 2, I]
-            return jax.nn.silu(gu[:, 0]) * gu[:, 1]
+            # fused int8 weight is stored C-leading [2, D, I]; the matmul
+            # returns C-leading [2, T, I] (see ops/quant.i8i8_matmul)
+            gu = matmul(h, p, "w_gate_up")          # [2, T, I]
+            return jax.nn.silu(gu[0]) * gu[1]
         return gate_up_act
 
     def gate_up_act(h, p):
@@ -214,6 +219,12 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
               if k not in ("wqkv", "wo", "w_gate_up", "w_down")}
         for name in ("wqkv", "wo", "w_gate_up", "w_down"):
             q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
+            if q.ndim == 3:
+                # fused gate|up [D, 2, I] is stored C-LEADING [2, D, I]:
+                # the Pallas matmul blocks it as [1, D, bn] slabs (Mosaic
+                # constrains only the last two block dims) and no operand
+                # reshape is needed, so XLA keeps the default layout
+                q = q.transpose(1, 0, 2)
             # host round-trip pins the DEFAULT (row-major) device layout:
             # the quantize computation may hand back a transposed layout
             # (traced: s8 w_gate_up stored {0,1}), and the Pallas matmul's
@@ -297,7 +308,15 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
 
         x = params["embedding"][flat_tokens].astype(compute_dtype)  # [T, D]
 
-        def layer(x, p, cache_l, scale_l):
+        # decode-only steps DEFER the cache write: attention takes the
+        # current token's k/v as an explicit self-term and ALL layers'
+        # K/V land in one fused scatter after the forward (measured 3.8x
+        # faster than per-layer scatters, and off the layer critical
+        # path). Prefill steps keep the append-before-attention order —
+        # chunked-causal attention must see this step's own tokens.
+        defer_append = bd > 0 and bp == 0
+
+        def layer(x, p, li, kv_cache, kv_scale):
             h = rms_norm(x, p["attn_norm"], eps)
             t = x.shape[0]
             g = n_q // n_kv
@@ -312,29 +331,36 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 q = apply_rope(q, flat_pos, theta)
                 k = apply_rope(k, flat_pos, theta)
 
-            cache_l, scale_l = kv_ops.append_kv(
-                cache_l, scale_l, k, v, slots, spec)
+            new_kv = None
+            if defer_append:
+                new_kv = (k, v)
+            else:
+                kv_cache, kv_scale = kv_ops.append_kv(
+                    kv_cache, kv_scale, k, v, slots, spec, layer=li)
 
-            sl = scale_l if spec.quantized else None
+            sl = kv_scale if spec.quantized else None
+            fk, fv = (k[:bd], v[:bd]) if defer_append else (None, None)
             if use_pallas:
                 attn_d = (pallas_attn.paged_decode_attention(
-                    q[:bd], cache_l, sl, pt_decode, ctx_decode, spec,
+                    q[:bd], kv_cache, sl, pt_decode, ctx_decode, spec,
+                    layer=li, fresh_k=fk, fresh_v=fv,
                     seq_block=seq_block,
                     interpret=interpret, alibi=slopes) if bd else
                     jnp.zeros((0, n_q, hd), compute_dtype))
                 attn_p = (pallas_attn.paged_prefill_attention(
-                    q[bd:].reshape(bp, qp, n_q, hd), cache_l, sl,
+                    q[bd:].reshape(bp, qp, n_q, hd), kv_cache, sl,
                     pt_prefill, inp.prefill_start, inp.prefill_len, spec,
+                    layer=li,
                     interpret=interpret, alibi=slopes) if bp else
                     jnp.zeros((0, qp, n_q, hd), compute_dtype))
             else:
                 attn_d = attn_ops.decode_attention_ref(
-                    q[:bd], cache_l, scale_l, pt_decode, ctx_decode, spec,
-                    alibi=slopes)
+                    q[:bd], kv_cache, kv_scale, pt_decode, ctx_decode,
+                    spec, layer=li, fresh_k=fk, fresh_v=fv, alibi=slopes)
                 attn_p = attn_ops.prefill_attention_ref(
-                    q[bd:].reshape(bp, qp, n_q, hd), cache_l, scale_l,
+                    q[bd:].reshape(bp, qp, n_q, hd), kv_cache, kv_scale,
                     pt_prefill, inp.prefill_start, inp.prefill_len, spec,
-                    alibi=slopes)
+                    layer=li, alibi=slopes)
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])
@@ -347,13 +373,19 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             act = gate_up_act(h, p)
             down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
-            return x, cache_l, scale_l
+            return x, kv_cache, kv_scale, new_kv
 
-        kv_cache = list(kv_cache)
-        kv_scale = list(kv_scale)
+        new_kvs = []
         for li, p in enumerate(params["layers"]):
-            x, kv_cache[li], kv_scale[li] = layer(
-                x, p, kv_cache[li], kv_scale[li])
+            x, kv_cache, kv_scale, new_kv = layer(
+                x, p, li, kv_cache, kv_scale)
+            new_kvs.append(new_kv)
+
+        if defer_append:
+            ks = jnp.stack([kv[0] for kv in new_kvs])  # [L, T, KVH, hd]
+            vs = jnp.stack([kv[1] for kv in new_kvs])
+            kv_cache, kv_scale = kv_ops.append_kv_block(
+                kv_cache, kv_scale, ks, vs, slots, spec)
 
         x = rms_norm(x, params["final_norm"], eps)
 
@@ -433,19 +465,18 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
             if not use_alibi:
                 q = apply_rope(q, pos, theta)
                 k = apply_rope(k, pos, theta)
-            cache_l, scale_l = kv_ops.append_kv(
-                kv_cache[li], kv_scale[li] if spec.quantized else None,
-                k, v, slots, spec)
-            kv_cache[li] = cache_l
-            sl = scale_l if spec.quantized else None
+            kv_cache, kv_scale = kv_ops.append_kv(
+                kv_cache, kv_scale if spec.quantized else None,
+                k, v, slots, spec, layer=li)
+            sl = kv_scale if spec.quantized else None
             if use_pallas:
                 attn = pallas_attn.paged_prefill_attention(
-                    q[None], cache_l, sl, page_table, start, new_len, spec,
-                    interpret=interpret, alibi=slopes)[0]
+                    q[None], kv_cache, sl, page_table, start, new_len,
+                    spec, layer=li, interpret=interpret, alibi=slopes)[0]
             else:
                 attn = attn_ops.prefill_attention_ref(
-                    q[None], cache_l, sl, page_table, start, new_len,
-                    spec, alibi=slopes)[0]
+                    q[None], kv_cache, sl, page_table, start, new_len,
+                    spec, layer=li, alibi=slopes)[0]
             o = matmul(attn.reshape(L, n_q * hd), p, "wo")
             if attn_bias:
                 o = o + p["bo"].astype(o.dtype)

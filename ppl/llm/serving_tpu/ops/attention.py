@@ -73,16 +73,31 @@ def _gqa_expand(x: jax.Array, num_q_heads: int) -> jax.Array:
 
 def decode_attention_ref(
     q: jax.Array,                # [B, q_heads, head_dim]
-    cache_layer: jax.Array,      # [2, num_slots, kv_heads, head_dim]
-    scale_layer: Optional[jax.Array],
+    cache: jax.Array,            # [kv_heads, L*num_slots, 2*shd] stacked
+    scale: Optional[jax.Array],
     page_table: jax.Array,       # i32[B, P]
     context_len: jax.Array,      # i32[B] (kv length incl. this token)
     spec: CacheSpec,
     alibi: Optional[jax.Array] = None,   # f32[q_heads] slopes
+    layer: int = 0,
+    fresh_k: Optional[jax.Array] = None,  # [B, kv_heads, hd] deferred-append
+    fresh_v: Optional[jax.Array] = None,
 ) -> jax.Array:                  # [B, q_heads, head_dim]
+    """One new query token per row over cache[layer].
+
+    Deferred-append mode (``fresh_k/v`` given): the current token's K/V
+    has NOT been scattered yet — the cache holds ``context_len - 1``
+    tokens and the fresh vectors enter as an explicit self-term (the
+    decode fast path batches the cache write across all layers after the
+    forward, ops.kv_cache.append_kv_block)."""
     b, num_q_heads, head_dim = q.shape
-    k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
-                        dtype=q.dtype)          # [B, KV, kv_heads, hd]
+    k, v = gather_pages(cache, scale, page_table, spec,
+                        dtype=q.dtype, layer=layer)  # [B, KV, kv_heads, hd]
+    cached_len = context_len
+    if fresh_k is not None:
+        cached_len = context_len - 1
+        k = jnp.concatenate([k, fresh_k.astype(q.dtype)[:, None]], axis=1)
+        v = jnp.concatenate([v, fresh_v.astype(q.dtype)[:, None]], axis=1)
     k = _gqa_expand(k, num_q_heads)
     v = _gqa_expand(v, num_q_heads)
     kv_len = k.shape[1]
@@ -90,8 +105,24 @@ def decode_attention_ref(
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(head_dim).astype(jnp.float32)
     if alibi is not None:
-        scores = scores + _alibi_bias(alibi, kv_len)[None]
-    mask = jnp.arange(kv_len)[None, :] < context_len[:, None]  # [B, KV]
+        if fresh_k is not None:
+            # the self-term column sits at each row's own position
+            # (= cached_len), not at a fixed column index
+            bias = jnp.concatenate([
+                jnp.broadcast_to(jnp.arange(kv_len - 1, dtype=jnp.float32),
+                                 (b, kv_len - 1)),
+                jnp.maximum(cached_len, 0).astype(jnp.float32)[:, None],
+            ], axis=1)                                        # [B, KV]
+            scores = scores + alibi[None, :, None] * bias[:, None, :]
+        else:
+            scores = scores + _alibi_bias(alibi, kv_len)[None]
+    if fresh_k is not None:
+        mask = jnp.concatenate([
+            jnp.arange(kv_len - 1)[None, :] < cached_len[:, None],
+            jnp.ones((b, 1), bool),
+        ], axis=1)                                            # [B, KV]
+    else:
+        mask = jnp.arange(kv_len)[None, :] < context_len[:, None]
     scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhk,bkhd->bhd", probs.astype(v.dtype), v,
@@ -101,17 +132,18 @@ def decode_attention_ref(
 
 def prefill_attention_ref(
     q: jax.Array,                # [Bp, Qp, q_heads, head_dim]
-    cache_layer: jax.Array,
-    scale_layer: Optional[jax.Array],
+    cache: jax.Array,            # [kv_heads, L*num_slots, 2*shd] stacked
+    scale: Optional[jax.Array],
     page_table: jax.Array,       # i32[Bp, P]
     start: jax.Array,            # i32[Bp] absolute pos of first new token
     new_len: jax.Array,          # i32[Bp] valid new tokens per row
     spec: CacheSpec,
     alibi: Optional[jax.Array] = None,   # f32[q_heads] slopes
+    layer: int = 0,
 ) -> jax.Array:                  # [Bp, Qp, q_heads, head_dim]
     bp, qp, num_q_heads, head_dim = q.shape
-    k, v = gather_pages(cache_layer, scale_layer, page_table, spec,
-                        dtype=q.dtype)          # [Bp, KV, kv_heads, hd]
+    k, v = gather_pages(cache, scale, page_table, spec,
+                        dtype=q.dtype, layer=layer)  # [Bp, KV, kv_heads, hd]
     k = _gqa_expand(k, num_q_heads)
     v = _gqa_expand(v, num_q_heads)
     kv_len = k.shape[1]

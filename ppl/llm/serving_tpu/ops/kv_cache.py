@@ -4,8 +4,18 @@ TPU-native replacement for the reference's four CUDA cache layouts
 (``llm_engine.cc:122-162``): ONE canonical paged layout chosen for TPU
 gather/scatter efficiency (SURVEY.md section 7.3 "pick one"):
 
-    cache:  per layer [num_kv_heads, num_slots, 2 * shd]   (k|v PACKED)
-    scale:  per layer [num_slots, scale_lanes]             (packed rows)
+    cache:  stacked [num_kv_heads, L * num_slots, 2 * shd] (k|v PACKED)
+    scale:  stacked [L * num_slots, scale_lanes]           (packed rows)
+
+The layer axis lives INSIDE the slot axis (layer ``l``'s slot ``s`` is
+row ``l * num_slots + s``), head-major. Head-major-with-layer-inner is
+load-bearing twice over: (1) the fused all-layer decode scatter flattens
+to ``[KVH * L * num_slots, lanes]`` with the tensor-parallel-sharded
+head axis MAJOR, so GSPMD can still express the kv-head sharding on the
+merged axis (a layer-major stack puts the sharded axis mid-merge and
+XLA silently all-gathers the whole cache to replicated); (2) the
+attention kernels' page DMA is the same 3-D ``[KVH, ps, lanes]`` slab
+as a per-layer cache, just offset by ``l * num_slots``.
 
 where ``num_slots = (num_pages + 1) * page_size`` — flat token slots, so
 a (page, offset) pair addresses slot ``page * page_size + offset``. Each
@@ -99,15 +109,18 @@ class CacheSpec:
 
 
 def init_cache(spec: CacheSpec):
-    """Allocate the (cache, scale) pair as PER-LAYER LISTS of
-    [2, kv_heads, num_slots, head_dim] arrays; scale is None when
-    unquantized.
+    """Allocate the (cache, scale) pair as STACKED arrays
+    ``[kv_heads, num_layers * num_slots, 2*shd]`` /
+    ``[num_layers * num_slots, scale_lanes]`` (layer inner — see module
+    docstring); scale is None when unquantized.
 
-    Per-layer arrays (not one stacked [L, ...] array scanned over) are
-    load-bearing for performance: carrying a stacked cache through
-    ``lax.scan`` makes XLA assemble a fresh ys buffer every step — a
-    full multi-GB cache copy per layer per step. Separate donated arrays
-    update truly in place.
+    One stacked array (vs per-layer lists) lets decode-only steps write
+    ALL layers' new K/V with a single fused row scatter (measured 3.8x
+    faster than 22 per-layer scatters on v5e) and shrinks the donated
+    buffer count per dispatch from 2*L to 2. The layer axis must NOT be
+    carried through ``lax.scan`` — a scanned carry ping-pongs the whole
+    multi-GB cache through fresh buffers each step; the step functions
+    are Python-unrolled and update the donated array in place.
 
     Scales use a PACKED-ROW layout [num_slots, scale_lanes]: one row per
     token slot holding every head's k+v group scales in lane order
@@ -125,14 +138,14 @@ def init_cache(spec: CacheSpec):
       groups minor is not DMA-able).
     """
     kv_dtype = jnp.int8 if spec.quantized else spec.dtype
-    cache = [jnp.zeros(
-        (spec.num_kv_heads, spec.num_slots, spec.row_lanes), dtype=kv_dtype)
-        for _ in range(spec.num_layers)]
+    cache = jnp.zeros(
+        (spec.num_kv_heads, spec.num_layers * spec.num_slots,
+         spec.row_lanes), dtype=kv_dtype)
     scale = None
     if spec.quantized:
-        scale = [jnp.zeros(
-            (spec.num_slots, spec.scale_lanes),
-            dtype=jnp.bfloat16) for _ in range(spec.num_layers)]
+        scale = jnp.zeros(
+            (spec.num_layers * spec.num_slots, spec.scale_lanes),
+            dtype=jnp.bfloat16)
     return cache, scale
 
 
@@ -185,80 +198,145 @@ def pack_kv_rows(k: jax.Array, v: jax.Array, spec: CacheSpec) -> jax.Array:
     return jnp.concatenate([k, v], axis=-1)
 
 
-def append_kv(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
-              k: jax.Array, v: jax.Array, slots: jax.Array,
-              spec: CacheSpec) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Scatter this step's new K/V into one layer's cache at ``slots``.
+def _pack_scale_rows(sk: jax.Array, sv: jax.Array, spec: CacheSpec
+                     ) -> jax.Array:
+    """k/v group scales [..., KVH, G] -> packed rows [..., scale_lanes]
+    in lane order (head, k|v, group), zero-padded to the 128 tile."""
+    lead = sk.shape[:-2]
+    packed = jnp.stack([sk, sv], axis=-2).reshape(
+        *lead, spec.num_kv_heads * spec.scale_lane_stride)
+    used = packed.shape[-1]
+    if used != spec.scale_lanes:
+        pad = [(0, 0)] * (packed.ndim - 1) + [(0, spec.scale_lanes - used)]
+        packed = jnp.pad(packed, pad)
+    return packed
 
-    cache_layer: [kv_heads, num_slots, 2*shd] packed k|v rows
+
+def append_kv(cache: jax.Array, scale: Optional[jax.Array],
+              k: jax.Array, v: jax.Array, slots: jax.Array,
+              spec: CacheSpec, layer: int = 0
+              ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scatter this step's new K/V for ONE layer into the stacked cache.
+
+    cache: [kv_heads, L * num_slots, 2*shd] packed k|v rows
     k, v: [T, kv_heads, head_dim] in compute dtype
     slots: i32[T] (padding tokens -> trash-page slots)
+
+    Used by the prefill path, where layer ``l``'s K/V must be resident
+    before its own chunked-causal attention runs. Decode-only steps use
+    :func:`append_kv_block` instead (one scatter for all layers).
     """
-    # FLAT-VIEW row scatter: scatter into a [KVH*S, 2*shd] reshape with
-    # computed row indices. A multi-axis `.at[:, slots]` scatter makes
-    # XLA prefer a non-default operand layout and insert a FULL
-    # cache-layer relayout copy per call (~1.2 ms per 262 MB layer on
+    # FLAT-VIEW row scatter: scatter into a [KVH * L*S, 2*shd] reshape
+    # with computed row indices. A multi-axis `.at[:, slots]` scatter
+    # makes XLA prefer a non-default operand layout and insert a FULL
+    # cache relayout copy per call (~1.2 ms per 262 MB layer on
     # v5e, traced) — the dominant cost of a decode step. The flat form
-    # scatters whole rows in the native layout (reshape is a bitcast).
-    kvh = spec.num_kv_heads
-    s_slots = cache_layer.shape[1]
+    # scatters whole rows in the native layout (reshape is a bitcast),
+    # and the head-major flatten keeps the tp-sharded axis GSPMD-visible.
+    kvh, ls_slots, _ = cache.shape
+    lslots = layer * spec.num_slots + slots
 
     def row_ids():
-        # [KVH, T]: row (h, t) = h * S + slots[t]
-        h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * s_slots
-        return (h + slots[None, :]).reshape(-1)
+        # [KVH, T]: row (h, t) = h * L*S + l*S + slots[t]
+        h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * ls_slots
+        return (h + lslots[None, :]).reshape(-1)
 
-    t = slots.shape[0]
     if spec.quantized:
         qk, sk = quantize_kv(k, spec.quant_group)
         qv, sv = quantize_kv(v, spec.quant_group)
         rows = pack_kv_rows(qk, qv, spec)          # [T, KVH, 2*shd] int8
-        flat = cache_layer.reshape(kvh * s_slots, spec.row_lanes)
+        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
         flat = flat.at[row_ids()].set(
             rows.transpose(1, 0, 2).reshape(-1, spec.row_lanes))
-        cache_layer = flat.reshape(cache_layer.shape)
+        cache = flat.reshape(cache.shape)
         # packed-row scale layout: one [scale_lanes] row per slot in lane
         # order (head, k|v, group) — a dense row scatter, exactly like the
         # value scatter above (anything else relayouts; see init_cache)
-        packed = jnp.stack([sk, sv], axis=2).reshape(
-            t, kvh * spec.scale_lane_stride)      # [T, KVH*2*G]
-        if packed.shape[1] != spec.scale_lanes:
-            packed = jnp.pad(
-                packed, ((0, 0), (0, spec.scale_lanes - packed.shape[1])))
-        scale_layer = scale_layer.at[slots].set(packed)
+        packed = _pack_scale_rows(sk, sv, spec)    # [T, scale_lanes]
+        scale = scale.at[lslots].set(packed)
     else:
-        dt = cache_layer.dtype
+        dt = cache.dtype
         rows = pack_kv_rows(k.astype(dt), v.astype(dt), spec)
-        flat = cache_layer.reshape(kvh * s_slots, spec.row_lanes)
+        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
         flat = flat.at[row_ids()].set(
             rows.transpose(1, 0, 2).reshape(-1, spec.row_lanes))
-        cache_layer = flat.reshape(cache_layer.shape)
-    return cache_layer, scale_layer
+        cache = flat.reshape(cache.shape)
+    return cache, scale
 
 
-def gather_pages(cache_layer: jax.Array, scale_layer: Optional[jax.Array],
+def append_kv_block(cache: jax.Array, scale: Optional[jax.Array],
+                    ks: jax.Array, vs: jax.Array, slots: jax.Array,
+                    spec: CacheSpec
+                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scatter ALL layers' new K/V in one fused row scatter.
+
+    ks, vs: [L, T, kv_heads, head_dim]; slots: i32[T].
+
+    The decode fast path: a decode step's attention handles the current
+    token's k/v as an explicit self-term (the deferred-append contract of
+    the attention kernels), so the cache write can be batched across the
+    whole layer stack after the forward — one scatter instead of L
+    (measured 3.8x faster per step on v5e, and the scatter sits off the
+    layer-to-layer critical path).
+    """
+    kvh, ls_slots, _ = cache.shape
+    n_layers = spec.num_layers
+    t = slots.shape[0]
+    # [L, T] layer-offset slots, flattened in (l, t) order
+    lslots = (jnp.arange(n_layers, dtype=slots.dtype)[:, None]
+              * spec.num_slots + slots[None, :])
+
+    def row_ids():
+        # [KVH, L*T]: row (h, l, t) = h * L*S + l*S + slots[t]
+        h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * ls_slots
+        return (h + lslots.reshape(-1)[None, :]).reshape(-1)
+
+    if spec.quantized:
+        qk, sk = quantize_kv(ks, spec.quant_group)
+        qv, sv = quantize_kv(vs, spec.quant_group)
+        rows = pack_kv_rows(qk, qv, spec)       # [L, T, KVH, 2*shd] int8
+        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
+        flat = flat.at[row_ids()].set(
+            rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
+        cache = flat.reshape(cache.shape)
+        packed = _pack_scale_rows(sk, sv, spec)    # [L, T, scale_lanes]
+        scale = scale.at[lslots.reshape(-1)].set(
+            packed.reshape(-1, spec.scale_lanes))
+    else:
+        dt = cache.dtype
+        rows = pack_kv_rows(ks.astype(dt), vs.astype(dt), spec)
+        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
+        flat = flat.at[row_ids()].set(
+            rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
+        cache = flat.reshape(cache.shape)
+    return cache, scale
+
+
+def gather_pages(cache: jax.Array, scale: Optional[jax.Array],
                  page_table: jax.Array, spec: CacheSpec,
-                 dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
-    """Densify rows' KV from the paged pool (XLA reference path only; the
-    Pallas kernels read pages in place).
+                 dtype=jnp.bfloat16, layer: int = 0
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Densify rows' KV for one layer from the paged pool (XLA reference
+    path only; the Pallas kernels read pages in place).
 
+    cache: stacked [KVH, L * S, 2*shd] (layer inner);
     page_table: i32[B, P] -> k, v: [B, P * page_size, kv_heads, head_dim]
     """
     b, p = page_table.shape
     base = page_table[..., None] * spec.page_size + jnp.arange(
         spec.page_size, dtype=page_table.dtype)
-    slots = base.reshape(b, p * spec.page_size)
-    # [KVH, S, 2*shd][:, slots[B, KV]] -> advanced index on axis 1 with a
-    # leading basic slice lands the gathered axes after KVH; transpose to
-    # [B, KV, KVH, lanes] and unpack the k|v halves
-    rows_kv = cache_layer[:, slots]                  # [KVH, B, KV, 2*shd]
+    slots = layer * spec.num_slots + base.reshape(b, p * spec.page_size)
+    # [KVH, L*S, 2*shd][:, slots[B, KV]] -> advanced index on axis 1 with
+    # a leading basic slice lands the gathered axes after KVH; transpose
+    # to [B, KV, KVH, lanes] and unpack the k|v halves
+    rows_kv = cache[:, slots]                        # [KVH, B, KV, 2*shd]
     rows_kv = rows_kv.transpose(1, 2, 0, 3)
     k = rows_kv[..., :spec.head_dim]
     v = rows_kv[..., spec.shd:spec.shd + spec.head_dim]
     if spec.quantized:
-        # packed-row scale layout [S, lanes]: gather rows, unpack lane
+        # packed-row scale layout [L*S, lanes]: gather rows, unpack lane
         # order (head, k|v, group) -> [B, KV, KVH, 2, G]
-        srows = scale_layer[slots][
+        srows = scale[slots][
             ..., : spec.num_kv_heads * spec.scale_lane_stride]
         srows = srows.reshape(b, p * spec.page_size, spec.num_kv_heads, 2,
                               spec.scale_groups)

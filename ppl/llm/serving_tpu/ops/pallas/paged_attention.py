@@ -8,7 +8,8 @@ ops/attention.py copies every gathered page into a dense [B, KV, H, hd]
 intermediate, doubling HBM traffic; decode is bandwidth-bound so that
 factor-2 is the whole ballgame).
 
-Cache layout: PACKED k|v rows ``[KVH, num_slots, 2*shd]`` (see
+Cache layout: PACKED k|v rows ``[KVH, L*num_slots, 2*shd]`` (layer
+inner; see
 ops/kv_cache.py). Each page slab DMA ``[KVH, page_size, 2*shd]`` fetches
 both K and V in one transfer; for head_dim 64 the 128-lane row is fully
 dense (the previous separate-K/V layout padded each to 128 lanes, which
@@ -93,32 +94,46 @@ def _dequant_row(vals, s_slab, h: int, spec: CacheSpec, expand):
 
 
 def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
-                   has_alibi: bool,
-                   pt_ref, ctx_ref,                  # scalar prefetch
+                   has_alibi: bool, deferred: bool,
+                   layer_ref, pt_ref, ctx_ref,       # scalar prefetch
                    q_ref, cache_ref, scale_ref,
-                   slopes_ref,                       # inputs
+                   slopes_ref, fk_ref, fv_ref,       # inputs
                    o_ref,                            # output
                    kv_buf, s_buf, sem):
     """Each program handles ``seq_blk`` sequences: every page phase fires
     the whole block's slab DMAs before waiting, so seq_blk copies overlap
     (a one-sequence-per-program grid is DMA-latency-bound: TPU grids run
-    sequentially on the core)."""
+    sequentially on the core).
+
+    ``deferred``: the current token's K/V is NOT in the cache yet (the
+    decode fast path batches the cache scatter across all layers after
+    the forward); ``fk/fv`` carry it and enter the online softmax as an
+    explicit self-term. ``ctx_ref`` still counts the kv length INCLUDING
+    the current token — the cache holds ctx-1.
+    """
     kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
     g = num_q_heads // kvh
     ps = spec.page_size
     base = pl.program_id(0) * seq_blk
     quant = spec.quantized
     expand = _expand_matrix(spec) if quant else None
+    li = layer_ref[0]
 
-    ctxs = [ctx_ref[base + j] for j in range(seq_blk)]
+    ctxs_t = [ctx_ref[base + j] for j in range(seq_blk)]   # incl. current
+    # cached-token counts (what the page loop walks)
+    ctxs = ([jnp.maximum(c - 1, 0) for c in ctxs_t] if deferred
+            else ctxs_t)
     max_ctx = functools.reduce(jnp.maximum, ctxs)
+    max_ctx_t = functools.reduce(jnp.maximum, ctxs_t)
+
+    lbase = li * spec.num_slots   # this layer's slot-row offset
 
     def start_dma(slot, p_idx):
         for j in range(seq_blk):
             @pl.when(p_idx * ps < ctxs[j])
             def _():
                 page = pt_ref[base + j, p_idx]
-                o = page * ps
+                o = lbase + page * ps
                 pltpu.make_async_copy(
                     cache_ref.at[:, pl.ds(o, ps), :],
                     kv_buf.at[slot, j], sem.at[slot, j, 0]).start()
@@ -139,14 +154,16 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                         scale_ref.at[pl.ds(0, ps), :],
                         s_buf.at[slot, j], sem.at[slot, j, 1]).wait()
 
-    @pl.when(max_ctx > 0)
+    @pl.when(max_ctx_t > 0)
     def _():
         # [seq_blk, Hq, hd] -> [seq_blk*KVH, G, hd] (true head_dim; no
         # lane padding — the packed-row k half is sliced to match)
         q = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, hd)
         q = q * (hd ** -0.5)
 
-        start_dma(0, 0)
+        @pl.when(max_ctx > 0)
+        def _():
+            start_dma(0, 0)
 
         # per-(seq, head) row context lengths, built via scalar selects
         # (Mosaic cannot reshape/broadcast tiny sub-lane vectors)
@@ -155,6 +172,11 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
         ctx_b = jnp.zeros((seq_blk * kvh, 1, 1), jnp.int32)
         for j, c in enumerate(ctxs):
             ctx_b = jnp.where(row_ids // kvh == j, c, ctx_b)
+        ctx_b_t = ctx_b
+        if deferred:
+            ctx_b_t = jnp.zeros((seq_blk * kvh, 1, 1), jnp.int32)
+            for j, c in enumerate(ctxs_t):
+                ctx_b_t = jnp.where(row_ids // kvh == j, c, ctx_b_t)
 
         def body(p_idx, carry):
             acc, m, l = carry
@@ -213,20 +235,42 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
         n_pages = pl.cdiv(max_ctx, ps)
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
+
+        if deferred:
+            # self-term: the current token's K/V (not yet in the cache)
+            # joins the online softmax as one extra key. Its position is
+            # each row's cached count (= ctx_t - 1).
+            fk = fk_ref[...].astype(jnp.float32).reshape(
+                seq_blk * kvh, 1, hd)
+            fv = fv_ref[...].astype(jnp.float32).reshape(
+                seq_blk * kvh, 1, hd)
+            s_self = jnp.sum(q * fk, axis=-1)            # [sb*KVH, G]
+            if has_alibi:
+                slopes = jnp.concatenate(
+                    [slopes_ref[:]] * seq_blk, axis=0)   # [sb*KVH, G]
+                s_self = s_self + slopes * ctx_b[:, :, 0].astype(
+                    jnp.float32)
+            m_new = jnp.maximum(m, s_self)
+            alpha = jnp.exp(m - m_new)
+            p_self = jnp.exp(s_self - m_new)
+            l = l * alpha + p_self
+            acc = acc * alpha[..., None] + p_self[..., None] * fv
+            m = m_new
+
         out = acc / jnp.maximum(l, 1e-30)[..., None]
         # zero rows whose ctx == 0 (padding sequences inside the block)
-        out = jnp.where(ctx_b > 0, out, 0.0)
+        out = jnp.where(ctx_b_t > 0, out, 0.0)
         o_ref[...] = out.reshape(seq_blk, num_q_heads, hd).astype(
             o_ref.dtype)
 
-    @pl.when(max_ctx <= 0)
+    @pl.when(max_ctx_t <= 0)
     def _():
         o_ref[...] = jnp.zeros((seq_blk, num_q_heads, hd), o_ref.dtype)
 
 
 def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                     has_alibi: bool,
-                    pt_ref, start_ref, newlen_ref,    # scalar prefetch
+                    layer_ref, pt_ref, start_ref, newlen_ref,  # prefetch
                     q_ref, cache_ref, scale_ref,
                     slopes_ref,                       # inputs
                     o_ref,                            # output
@@ -238,6 +282,7 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     ps = spec.page_size
     quant = spec.quantized
     expand = _expand_matrix(spec) if quant else None
+    li = layer_ref[0]
     start = start_ref[b]
     new_len = newlen_ref[b]
     ctx = start + new_len
@@ -247,9 +292,11 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     n_pages = pl.cdiv(kv_hi, ps)
     block_active = (qb * q_blk) < new_len
 
+    lbase = li * spec.num_slots   # this layer's slot-row offset
+
     def start_dma(slot, p_idx):
         page = pt_ref[b, p_idx]
-        o = page * ps
+        o = lbase + page * ps
         pltpu.make_async_copy(
             cache_ref.at[:, pl.ds(o, ps), :], kv_buf.at[slot],
             sem.at[slot, 0]).start()
@@ -346,32 +393,45 @@ def _scale_placeholder(spec: CacheSpec):
 
 def paged_decode_attention(
     q: jax.Array,                 # [B, Hq, hd]
-    cache_layer: jax.Array,       # [KVH, S, 2*shd] packed (int8 or float)
-    scale_layer: Optional[jax.Array],
+    cache: jax.Array,             # [KVH, L*S, 2*shd] packed (int8/float)
+    scale: Optional[jax.Array],   # [L*S, scale_lanes] when quantized
     page_table: jax.Array,        # i32[B, P]
-    context_len: jax.Array,       # i32[B]
+    context_len: jax.Array,       # i32[B] kv length incl. current token
     spec: CacheSpec,
     *,
+    layer: int = 0,
+    fresh_k: Optional[jax.Array] = None,  # [B, KVH, hd] deferred-append
+    fresh_v: Optional[jax.Array] = None,
     seq_block: int = 4,
     interpret: bool = False,
     alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
 ) -> jax.Array:
-    """Decode attention over the paged cache; one new token per row."""
+    """Decode attention over the paged cache; one new token per row.
+
+    ``fresh_k/v`` given = deferred-append mode: the cache holds
+    ``context_len - 1`` tokens and the current token's K/V enters as a
+    self-term (see ops.kv_cache.append_kv_block). The layer index rides
+    scalar prefetch so all layers share one compiled kernel.
+    """
     b, num_q_heads, hd = q.shape
-    if scale_layer is None or scale_layer.ndim != 2:
-        scale_layer = _scale_placeholder(spec)
+    if scale is None or scale.ndim != 2:
+        scale = _scale_placeholder(spec)
     while seq_block > 1 and b % seq_block:
         seq_block //= 2
 
     kvh, ps = spec.num_kv_heads, spec.page_size
     g = num_q_heads // kvh
     has_alibi = alibi is not None
+    deferred = fresh_k is not None
     slopes = (alibi.astype(jnp.float32).reshape(kvh, g) if has_alibi
               else jnp.zeros((kvh, g), jnp.float32))
+    if not deferred:
+        fresh_k = jnp.zeros((b, kvh, hd), q.dtype)
+        fresh_v = jnp.zeros((b, kvh, hd), q.dtype)
     kernel = functools.partial(_decode_kernel, spec, num_q_heads, seq_block,
-                               has_alibi)
+                               has_alibi, deferred)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b // seq_block,),
         in_specs=[
             pl.BlockSpec((seq_block, num_q_heads, hd),
@@ -380,13 +440,19 @@ def paged_decode_attention(
             pl.BlockSpec(memory_space=pltpu.ANY),   # cache stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # scales stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes [KVH, G]
+            pl.BlockSpec((seq_block, kvh, hd),      # fresh k (self-term)
+                         lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq_block, kvh, hd),      # fresh v
+                         lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((seq_block, num_q_heads, hd),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, seq_block, kvh, ps, spec.row_lanes),
-                       cache_layer.dtype),
+                       cache.dtype),
             pltpu.VMEM((2, seq_block, ps,
                         spec.scale_lanes if spec.quantized else 128),
                        jnp.bfloat16),
@@ -401,30 +467,32 @@ def paged_decode_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(page_table, context_len, q, cache_layer, scale_layer, slopes)
+    )(jnp.asarray([layer], jnp.int32), page_table, context_len,
+      q, cache, scale, slopes, fresh_k, fresh_v)
 
 
 def paged_prefill_attention(
     q: jax.Array,                 # [Bp, Qp, Hq, hd]
-    cache_layer: jax.Array,       # [KVH, S, 2*shd] packed
-    scale_layer: Optional[jax.Array],
+    cache: jax.Array,             # [KVH, L*S, 2*shd] packed
+    scale: Optional[jax.Array],   # [L*S, scale_lanes] when quantized
     page_table: jax.Array,        # i32[Bp, P]
     start: jax.Array,             # i32[Bp]
     new_len: jax.Array,           # i32[Bp]
     spec: CacheSpec,
     *,
+    layer: int = 0,
     q_block: int = 128,
     interpret: bool = False,
     alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
 ) -> jax.Array:
     """Chunked-causal prefill attention over the paged cache; supports
     start > 0 (prefix-cache-hit continuation). This step's K/V must
-    already be in the cache."""
+    already be in the cache (per-layer append; deferral is decode-only)."""
     bp, qp, num_q_heads, hd = q.shape
     q_blk = min(q_block, qp)
     assert qp % q_blk == 0, (qp, q_blk)
-    if scale_layer is None or scale_layer.ndim != 2:
-        scale_layer = _scale_placeholder(spec)
+    if scale is None or scale.ndim != 2:
+        scale = _scale_placeholder(spec)
 
     kvh, ps = spec.num_kv_heads, spec.page_size
     g = num_q_heads // kvh
@@ -437,7 +505,7 @@ def paged_prefill_attention(
     kernel = functools.partial(_prefill_kernel, spec, num_q_heads, q_blk,
                                has_alibi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(bp, qp // q_blk),
         in_specs=[
             pl.BlockSpec((1, q_blk, num_q_heads, hd),
@@ -451,7 +519,7 @@ def paged_prefill_attention(
                                lambda b, qb, *_: (b, qb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, kvh, ps, spec.row_lanes), cache_layer.dtype),
+            pltpu.VMEM((2, kvh, ps, spec.row_lanes), cache.dtype),
             pltpu.VMEM((2, ps,
                         spec.scale_lanes if spec.quantized else 128),
                        jnp.bfloat16),
@@ -466,4 +534,5 @@ def paged_prefill_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(page_table, start, new_len, q, cache_layer, scale_layer, slopes)
+    )(jnp.asarray([layer], jnp.int32), page_table, start, new_len,
+      q, cache, scale, slopes)

@@ -60,11 +60,11 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
         xs_ref[:] = scale
 
     acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[:, 0, :],
+        xq_ref[:], w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                            # [bt, bn]
-    out_ref[:, 0, :] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[:, 0, :]
+    out_ref[0] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n",
@@ -72,28 +72,35 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
 def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                        *, interpret: bool = False,
                        block_n: int = 0, block_t: int = 0) -> jax.Array:
-    """x [T, D] float  x  w_q int8 [D, ...out] -> f32 [T, ...out].
+    """Drop-in for ``ops.quant.i8i8_matmul`` (same two weight contracts):
 
-    Drop-in for ``ops.quant.i8i8_matmul``; w_scale is f32 shaped like w_q
-    without the contraction axis.
+    - plain: x [T, D] x w_q int8 [D, ...out] -> f32 [T, ...out]
+    - fused 3-axis: w_q [C, D, N] (C leading), w_scale [C, N]
+      -> f32 [C, T, N]
+
+    Fused weights (gate|up) ride in C-leading so the kernel blocks them
+    as [1, D, bn] slabs of the row-major array (Mosaic only constrains
+    the LAST two block dims; a [D, 1, bn] block of a [D, C, N] array is
+    rejected, and reshaping the operand to [D, C*N] invites XLA to pick
+    a non-default parameter layout and relayout-copy the int8 weight
+    every call — traced ~3 ms per decode block on v5e). The C-leading
+    OUTPUT keeps gate/up slices layout-free for the consumer.
     """
     t, d = x.shape
-    out_shape = w_q.shape[1:]
-    # Fused-weight matmuls (w_q [D, C, N], e.g. gate|up [D, 2, I]) keep
-    # their 3-D shape all the way into the kernel: the grid sweeps the C
-    # axis and each block DMA reads a [D, 1, bn] slab of the row-major
-    # array directly. Reshaping to [D, C*N] on the operand invites XLA to
-    # pick a non-default layout for the parameter and insert a full
-    # relayout copy of the int8 weight per call (traced ~3 ms per decode
-    # block on v5e).
     if w_q.ndim == 3:
-        c, n = w_q.shape[1], w_q.shape[2]
+        fused = True
+        c, d2, n = w_q.shape
+        assert d2 == d, (w_q.shape, x.shape)
+        w3 = w_q
+        out_shape = None
     else:
+        fused = False
+        out_shape = w_q.shape[1:]
         c, n = 1, 1
         for s in out_shape:
             n *= s
-        w_q = w_q.reshape(d, 1, n)
-    s3 = w_scale.reshape(1, c, n).astype(jnp.float32)
+        w3 = w_q.reshape(1, d, n)
+    s3 = w_scale.reshape(c, 1, n).astype(jnp.float32)
     bn = block_n or _pick_block_n(d, n)
     bt = block_t or _pick_block_t(d, t)
     grid = (pl.cdiv(t, bt), c, pl.cdiv(n, bn))
@@ -104,14 +111,14 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         in_specs=[
             pl.BlockSpec((bt, d), lambda i, ci, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1, bn), lambda i, ci, j: (0, ci, j),
+            pl.BlockSpec((1, d, bn), lambda i, ci, j: (ci, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda i, ci, j: (0, ci, j),
+            pl.BlockSpec((1, 1, bn), lambda i, ci, j: (ci, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, 1, bn), lambda i, ci, j: (i, ci, j),
+        out_specs=pl.BlockSpec((1, bt, bn), lambda i, ci, j: (ci, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, c, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, t, n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bt, d), jnp.int8),
             pltpu.VMEM((bt, 1), jnp.float32),
@@ -123,5 +130,7 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_q, s3)
-    return out.reshape((t,) + out_shape)
+    )(x, w3, s3)
+    if fused:
+        return out
+    return out[0].reshape((t,) + out_shape)

@@ -53,13 +53,25 @@ def quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def i8i8_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array
                 ) -> jax.Array:
-    """Fused dynamic-quant int8 matmul: x [T, D] x w_q [D, ...out] ->
-    f32 [T, ...out].
+    """Fused dynamic-quant int8 matmul.
+
+    Two weight contracts:
+    - plain: x [T, D] x w_q [D, ...out] -> f32 [T, ...out]
+    - fused 3-axis (exactly ndim == 3, e.g. gate|up): w_q [C, D, N]
+      (C leading so device kernels can block it), w_scale [C, N]
+      -> f32 [C, T, N]. The C-leading OUTPUT layout is deliberate:
+      [T, C, N] would make XLA relayout the activation per layer
+      (see models/llama._make_gate_up_act).
 
     The int8 x int8 -> int32 contraction maps onto the MXU's native int8
     path; the rescale epilogue is elementwise and fuses.
     """
     x_q, x_scale = quantize_activation(x)
+    if w_q.ndim == 3:
+        acc = jnp.einsum("td,cdn->ctn", x_q, w_q,
+                         preferred_element_type=jnp.int32)
+        scale = x_scale[None, :, None] * w_scale[:, None, :]
+        return acc.astype(jnp.float32) * scale
     out_nd = w_q.ndim - 1
     acc = jax.lax.dot_general(
         x_q, w_q,

@@ -19,9 +19,9 @@ KV heads shard across TP, ``llm_engine.cc:122-162``):
     w_down      [I, D]              P('tp', None)   row parallel
     norms                           replicated
     lm_head     [D, V]              P(None, 'tp')   column parallel
-    kv cache    [2, KVH, S, hd]     P(None, 'tp', None, None)  per layer
-    kv scale    [S, scale_lanes]    P(None, 'tp') when per-shard lanes are
-                                    128-aligned, else replicated  per layer
+    kv cache    [KVH, L*S, 2*shd]   P('tp', None, None)  stacked, layer inner
+    kv scale    [L*S, scale_lanes]  P(None, 'tp') when per-shard lanes
+                                    are 128-aligned, else replicated
     count map   [slots, V]          replicated
 
 Constraints: ``num_kv_heads % tp == 0`` and ``intermediate_dim % tp == 0``
@@ -103,14 +103,16 @@ def param_partition_specs(cfg: ModelConfig,
 
 
 def cache_partition_spec() -> P:
-    # per-layer cache [KVH, S, 2*shd] (packed k|v rows): shard kv heads
+    # stacked cache [KVH, L*S, 2*shd] (packed k|v rows, layer inner):
+    # shard kv heads — head-major keeps the sharded axis GSPMD-visible
+    # through the flat-view scatters (ops/kv_cache.py)
     return P("tp", None, None)
 
 
 def scale_partition_spec(cfg: Optional[ModelConfig] = None,
                          spec: Optional[CacheSpec] = None,
                          tp_size: int = 1) -> P:
-    """Per-layer packed scale rows [S, scale_lanes].
+    """Stacked packed scale rows [L*S, scale_lanes] (layer inner).
 
     Lane order is (head, k|v, group), so sharding the lane axis by tp
     splits whole heads — but only when each shard's lane count is a
@@ -154,11 +156,11 @@ def shard_engine_state(mesh: Mesh, cfg: ModelConfig, spec: CacheSpec,
         return jax.device_put(x, NamedSharding(mesh, pspec))
 
     params = jax.tree.map(put, params, param_partition_specs(cfg, params))
-    kv_cache = [put(c, cache_partition_spec()) for c in kv_cache]
-    if kv_scale and kv_scale[0].ndim == 2:
-        sspec = scale_partition_spec(cfg, spec, mesh.devices.size)
-        kv_scale = [put(s, sspec) for s in kv_scale]
-    else:  # dummy placeholders when unquantized
-        kv_scale = [put(s, P(None)) for s in kv_scale]
+    kv_cache = put(kv_cache, cache_partition_spec())
+    if kv_scale is not None and kv_scale.ndim == 2:
+        kv_scale = put(kv_scale,
+                       scale_partition_spec(cfg, spec, mesh.devices.size))
+    elif kv_scale is not None:  # dummy placeholder when unquantized
+        kv_scale = put(kv_scale, P(None))
     count_map = put(count_map, P(None, None))
     return params, kv_cache, kv_scale, count_map

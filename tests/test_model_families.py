@@ -107,49 +107,49 @@ class TestAlibiAttention:
         v = rng.randn(L, KVH, hd).astype(np.float32)
         cache, _ = kv_ops.init_cache(SPEC)
         slots = jnp.arange(L, dtype=jnp.int32)  # pages 0,1 contiguous
-        cache_l, _ = kv_ops.append_kv(cache[0], None, jnp.asarray(k),
-                                      jnp.asarray(v), slots, SPEC)
+        cache, _ = kv_ops.append_kv(cache, None, jnp.asarray(k),
+                                    jnp.asarray(v), slots, SPEC)
         pt = jnp.asarray(np.array([[0, 1, SPEC.trash_page,
                                     SPEC.trash_page]], np.int32))
         slopes = attn_ops.alibi_slopes(H)
         k_dense = np.repeat(k, 2, axis=1)
         v_dense = np.repeat(v, 2, axis=1)
         ref = dense_alibi_attention(q, k_dense, v_dense, slopes)
-        return q, cache_l, pt, slopes, ref, L
+        return q, cache, pt, slopes, ref, L
 
     def test_prefill_ref_impl(self):
-        q, cache_l, pt, slopes, ref, L = self._setup()
+        q, cache, pt, slopes, ref, L = self._setup()
         out = attn_ops.prefill_attention_ref(
-            jnp.asarray(q)[None], cache_l, None, pt,
+            jnp.asarray(q)[None], cache, None, pt,
             jnp.zeros(1, jnp.int32), jnp.array([L], jnp.int32), SPEC,
             alibi=slopes)[0]
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
     def test_decode_ref_impl(self):
-        q, cache_l, pt, slopes, ref, L = self._setup()
+        q, cache, pt, slopes, ref, L = self._setup()
         # last position as a decode query
         out = attn_ops.decode_attention_ref(
-            jnp.asarray(q)[-1:][0][None], cache_l, None, pt,
+            jnp.asarray(q)[-1:][0][None], cache, None, pt,
             jnp.array([L], jnp.int32), SPEC, alibi=slopes)
         np.testing.assert_allclose(np.asarray(out)[0], ref[-1], atol=2e-5)
 
     def test_pallas_prefill_matches_ref(self):
         from ppl.llm.serving_tpu.ops.pallas import paged_attention as pa
-        q, cache_l, pt, slopes, ref, L = self._setup()
+        q, cache, pt, slopes, ref, L = self._setup()
         qp = 32
         qpad = np.zeros((1, qp, 4, 16), np.float32)
         qpad[0, :L] = q
         out = pa.paged_prefill_attention(
-            jnp.asarray(qpad), cache_l, None, pt,
+            jnp.asarray(qpad), cache, None, pt,
             jnp.zeros(1, jnp.int32), jnp.array([L], jnp.int32), SPEC,
             interpret=True, alibi=slopes)
         np.testing.assert_allclose(np.asarray(out)[0, :L], ref, atol=2e-4)
 
     def test_pallas_decode_matches_ref(self):
         from ppl.llm.serving_tpu.ops.pallas import paged_attention as pa
-        q, cache_l, pt, slopes, ref, L = self._setup()
+        q, cache, pt, slopes, ref, L = self._setup()
         out = pa.paged_decode_attention(
-            jnp.asarray(q[-1:]), cache_l, None, pt,
+            jnp.asarray(q[-1:]), cache, None, pt,
             jnp.array([L], jnp.int32), SPEC, interpret=True, alibi=slopes)
         np.testing.assert_allclose(np.asarray(out)[0], ref[-1], atol=2e-4)
 
@@ -166,13 +166,13 @@ class TestAlibiModel:
         seq = rng.randint(0, 250, size=21)
 
         cache, _ = kv_ops.init_cache(SPEC)
-        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
+        scale = jnp.zeros((1,), jnp.float32)
         cm = jnp.zeros((1, 1), jnp.int32)
-        out_full = step(params, list(cache), list(scale), cm,
+        out_full = step(params, cache, scale, cm,
                         prefill_input(seq), jax.random.PRNGKey(0))
 
         cache2, _ = kv_ops.init_cache(SPEC)
-        out_pre = step(params, list(cache2), list(scale), cm,
+        out_pre = step(params, cache2, scale, cm,
                        prefill_input(seq[:-1]), jax.random.PRNGKey(0))
         out_dec = step(params, out_pre.kv_cache, out_pre.kv_scale, cm,
                        decode_input(seq[-1], len(seq) - 1),
@@ -190,8 +190,8 @@ class TestAlibiModel:
             cfg = dataclasses.replace(CFG, position_encoding=pe)
             step = llama.make_step_fn(cfg, SPEC, return_logits=True)
             cache, _ = kv_ops.init_cache(SPEC)
-            scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
-            out = step(params, list(cache), list(scale),
+            scale = jnp.zeros((1,), jnp.float32)
+            out = step(params, cache, scale,
                        jnp.zeros((1, 1), jnp.int32),
                        prefill_input(seq), jax.random.PRNGKey(0))
             outs[pe] = np.asarray(out.logits[0])
@@ -207,8 +207,8 @@ class TestAttnBias:
         step = llama.make_step_fn(cfg, SPEC, return_logits=True)
         seq = (np.arange(10) * 13 + 1) % 250
         cache, _ = kv_ops.init_cache(SPEC)
-        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
-        out = step(params, list(cache), list(scale),
+        scale = jnp.zeros((1,), jnp.float32)
+        out = step(params, cache, scale,
                    jnp.zeros((1, 1), jnp.int32), prefill_input(seq),
                    jax.random.PRNGKey(0))
         # zero the biases -> different logits
@@ -217,7 +217,7 @@ class TestAttnBias:
             lp["bqkv"] = jnp.zeros_like(lp["bqkv"])
             lp["bo"] = jnp.zeros_like(lp["bo"])
         cache2, _ = kv_ops.init_cache(SPEC)
-        out0 = step(params0, list(cache2), list(scale),
+        out0 = step(params0, cache2, scale,
                     jnp.zeros((1, 1), jnp.int32), prefill_input(seq),
                     jax.random.PRNGKey(0))
         assert np.abs(np.asarray(out.logits)
@@ -233,8 +233,8 @@ class TestAttnBias:
                                   quant_method="online_i8i8")
         seq = (np.arange(10) * 13 + 1) % 250
         cache, _ = kv_ops.init_cache(SPEC)
-        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
-        out = step(params, list(cache), list(scale),
+        scale = jnp.zeros((1,), jnp.float32)
+        out = step(params, cache, scale,
                    jnp.zeros((1, 1), jnp.int32), prefill_input(seq),
                    jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(out.logits)).all()

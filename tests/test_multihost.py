@@ -91,6 +91,6 @@ def test_tp_generator_e2e():
         run(gen, conn, [req(1, prompt="tensor parallel", gen_len=8),
                         req(2, prompt="second request", gen_len=8)])
         assert len(conn.tokens[1]) == 8 and len(conn.tokens[2]) == 8
-        assert engine.kv_cache[0].sharding.spec[0] == "tp"
+        assert engine.kv_cache.sharding.spec[0] == "tp"
     finally:
         gen.shutdown()

@@ -16,8 +16,6 @@ def fill_cache(spec, rows, seed=0):
     """rows: list of (pages, ctx_len). Returns (cache_layer, scale_layer,
     page_table, context_len) with random KV content."""
     cache, scale = kv_ops.init_cache(spec)
-    cache_layer = cache[0]
-    scale_layer = scale[0] if scale is not None else None
     kvp = max(len(p) for p, _ in rows)
     pt = np.full((len(rows), kvp), spec.trash_page, np.int32)
     ctx = np.zeros(len(rows), np.int32)
@@ -33,20 +31,18 @@ def fill_cache(spec, rows, seed=0):
         slots = kv_ops.token_slots(
             jnp.asarray(pt[r:r + 1]), jnp.arange(n),
             jnp.zeros(n, jnp.int32), spec.page_size)
-        cache_layer, scale_layer = kv_ops.append_kv(
-            cache_layer, scale_layer, k, v, slots, spec)
-    return cache_layer, scale_layer, jnp.asarray(pt), jnp.asarray(ctx)
+        cache, scale = kv_ops.append_kv(cache, scale, k, v, slots, spec)
+    return cache, scale, jnp.asarray(pt), jnp.asarray(ctx)
 
 
 def run_both(spec, rows, num_q_heads, seed=1):
-    cache_layer, scale_layer, pt, ctx = fill_cache(spec, rows)
+    cache, scale, pt, ctx = fill_cache(spec, rows)
     q = jax.random.normal(
         jax.random.PRNGKey(seed),
         (len(rows), num_q_heads, spec.head_dim)).astype(
             jnp.float32 if spec.dtype == jnp.float32 else jnp.bfloat16)
-    ref = attn_ref.decode_attention_ref(q, cache_layer, scale_layer, pt,
-                                        ctx, spec)
-    out = pk.paged_decode_attention(q, cache_layer, scale_layer, pt, ctx,
+    ref = attn_ref.decode_attention_ref(q, cache, scale, pt, ctx, spec)
+    out = pk.paged_decode_attention(q, cache, scale, pt, ctx,
                                     spec, interpret=True)
     return np.asarray(ref), np.asarray(out)
 
@@ -73,11 +69,11 @@ def test_decode_mha_g1():
     """MHA (G=1) — llama2-7B shape class."""
     spec = CacheSpec(num_layers=1, num_pages=8, page_size=16,
                      num_kv_heads=4, head_dim=32, dtype=jnp.float32)
-    cache_layer, scale_layer, pt, ctx = fill_cache(
+    cache, scale, pt, ctx = fill_cache(
         spec, [([0, 1], 30), ([2], 5)])
     q = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 32))
-    ref = attn_ref.decode_attention_ref(q, cache_layer, None, pt, ctx, spec)
-    out = pk.paged_decode_attention(q, cache_layer, None, pt, ctx, spec,
+    ref = attn_ref.decode_attention_ref(q, cache, None, pt, ctx, spec)
+    out = pk.paged_decode_attention(q, cache, None, pt, ctx, spec,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -106,8 +102,6 @@ def test_decode_long_context_many_pages():
 def fill_cache_with_kv(spec, rows, seed=0):
     """Like fill_cache but also returns the raw K/V per row for q building."""
     cache, scale = kv_ops.init_cache(spec)
-    cache_layer = cache[0]
-    scale_layer = scale[0] if scale is not None else None
     kvp = max(len(p) for p, _ in rows)
     pt = np.full((len(rows), kvp), spec.trash_page, np.int32)
     key = jax.random.PRNGKey(seed)
@@ -121,23 +115,22 @@ def fill_cache_with_kv(spec, rows, seed=0):
         slots = kv_ops.token_slots(
             jnp.asarray(pt[r:r + 1]), jnp.arange(n),
             jnp.zeros(n, jnp.int32), spec.page_size)
-        cache_layer, scale_layer = kv_ops.append_kv(
-            cache_layer, scale_layer, k, v, slots, spec)
-    return cache_layer, scale_layer, jnp.asarray(pt)
+        cache, scale = kv_ops.append_kv(cache, scale, k, v, slots, spec)
+    return cache, scale, jnp.asarray(pt)
 
 
 def run_prefill_both(spec, rows, starts, new_lens, qp, num_q_heads,
                      q_block=16, seed=3):
     """rows give total ctx per row (start + new)."""
-    cache_layer, scale_layer, pt = fill_cache_with_kv(spec, rows)
+    cache, scale, pt = fill_cache_with_kv(spec, rows)
     bp = len(rows)
     q = jax.random.normal(jax.random.PRNGKey(seed),
                           (bp, qp, num_q_heads, spec.head_dim))
     starts = jnp.asarray(starts, jnp.int32)
     new_lens = jnp.asarray(new_lens, jnp.int32)
-    ref = attn_ref.prefill_attention_ref(q, cache_layer, scale_layer, pt,
+    ref = attn_ref.prefill_attention_ref(q, cache, scale, pt,
                                          starts, new_lens, spec)
-    out = pk.paged_prefill_attention(q, cache_layer, scale_layer, pt,
+    out = pk.paged_prefill_attention(q, cache, scale, pt,
                                      starts, new_lens, spec,
                                      q_block=q_block, interpret=True)
     ref = np.asarray(ref)
@@ -169,14 +162,14 @@ def test_prefill_batch_mixed_lens():
 
 def test_prefill_quantized_kv():
     spec = QSPEC
-    cache_layer, scale_layer, pt = fill_cache_with_kv(
+    cache, scale, pt = fill_cache_with_kv(
         spec, [([0, 1], 30)])
     q = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 4, spec.head_dim))
     starts = jnp.array([0], jnp.int32)
     new_lens = jnp.array([30], jnp.int32)
-    ref = attn_ref.prefill_attention_ref(q, cache_layer, scale_layer, pt,
+    ref = attn_ref.prefill_attention_ref(q, cache, scale, pt,
                                          starts, new_lens, spec)
-    out = pk.paged_prefill_attention(q, cache_layer, scale_layer, pt,
+    out = pk.paged_prefill_attention(q, cache, scale, pt,
                                      starts, new_lens, spec, q_block=16,
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(out)[0, :30],
@@ -237,13 +230,82 @@ def test_full_model_step_with_pallas_interpret():
         for layer in range(2):
             slots = kv_ops.token_slots(jnp.asarray(pt[:1]), jnp.arange(4),
                                        jnp.zeros(4, jnp.int32), 16)
-            lc, _ = kv_ops.append_kv(cache[layer], None, hist, hist, slots,
-                                     spec)
-            cache[layer] = lc
+            cache, _ = kv_ops.append_kv(cache, None, hist, hist, slots,
+                                        spec, layer=layer)
         step = llama.make_step_fn(cfg, spec, return_logits=True,
                                   attn_impl=impl)
-        out = step(params, cache, [jnp.zeros((1,), jnp.float32) for _ in range(2)],
+        out = step(params, cache, jnp.zeros((1,), jnp.float32),
                    jnp.zeros((1, 1), jnp.int32), inp, jax.random.PRNGKey(0))
         outs[impl] = np.asarray(out.logits)
     np.testing.assert_allclose(outs["pallas_interpret"], outs["xla"],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_decode_deferred_self_term():
+    """Deferred-append mode: the cache holds ctx-1 tokens; fresh k/v enter
+    as a self-term. Must equal the appended-first computation."""
+    for spec in (SPEC, QSPEC):
+        rows = [([0, 1, 2], 40), ([4], 3), ([6, 7], 17)]
+        cache, scale, pt, ctx = fill_cache(spec, rows)
+        b = len(rows)
+        key = jax.random.PRNGKey(11)
+        kf = jax.random.normal(key, (b, spec.num_kv_heads, spec.head_dim))
+        vf = jax.random.normal(jax.random.PRNGKey(12),
+                               (b, spec.num_kv_heads, spec.head_dim))
+        q = jax.random.normal(jax.random.PRNGKey(13),
+                              (b, 4, spec.head_dim))
+        ctx_t = ctx + 1   # incl. the (not yet appended) current token
+        ref = attn_ref.decode_attention_ref(
+            q, cache, scale, pt, ctx_t, spec, fresh_k=kf, fresh_v=vf)
+        out = pk.paged_decode_attention(
+            q, cache, scale, pt, ctx_t, spec, fresh_k=kf, fresh_v=vf,
+            interpret=True)
+        tol = dict(atol=2e-5, rtol=2e-5) if spec is SPEC else dict(
+            atol=1e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **tol)
+
+
+def test_decode_deferred_first_token():
+    """A decode row whose ONLY context is the fresh token (cache empty):
+    output must be exactly v_fresh (softmax over one key)."""
+    cache, scale = kv_ops.init_cache(SPEC)
+    pt = jnp.full((1, 2), SPEC.trash_page, jnp.int32)
+    ctx_t = jnp.array([1], jnp.int32)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 32))
+    vf = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 32))
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 32))
+    out = pk.paged_decode_attention(
+        q, cache, scale, pt, ctx_t, SPEC, fresh_k=kf, fresh_v=vf,
+        interpret=True)
+    expect = jnp.repeat(vf, 2, axis=1)   # GQA expand of v_fresh
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_multi_layer_kernel_indexing():
+    """The layer scalar-prefetch must address the right slab of the
+    stacked cache (distinct KV per layer -> distinct outputs)."""
+    spec = CacheSpec(num_layers=3, num_pages=8, page_size=16,
+                     num_kv_heads=2, head_dim=32, dtype=jnp.float32)
+    cache, scale = kv_ops.init_cache(spec)
+    pt = jnp.array([[0, 1]], jnp.int32)
+    n = 20
+    for li in range(3):
+        k = jax.random.normal(jax.random.PRNGKey(li), (n, 2, 32))
+        slots = kv_ops.token_slots(pt, jnp.arange(n), jnp.zeros(n, jnp.int32),
+                                   spec.page_size)
+        cache, scale = kv_ops.append_kv(cache, scale, k, -k, slots, spec,
+                                        layer=li)
+    q = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 32))
+    ctx = jnp.array([n], jnp.int32)
+    outs = []
+    for li in range(3):
+        ref = attn_ref.decode_attention_ref(q, cache, scale, pt, ctx, spec,
+                                            layer=li)
+        out = pk.paged_decode_attention(q, cache, scale, pt, ctx, spec,
+                                        layer=li, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=f"l{li}")
+        outs.append(np.asarray(out))
+    assert not np.allclose(outs[0], outs[1])
+    assert not np.allclose(outs[1], outs[2])

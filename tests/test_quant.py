@@ -49,13 +49,24 @@ class TestQuantOps:
         rel = jnp.abs(out - ref).max() / jnp.abs(ref).max()
         assert rel < 0.02
 
-    def test_i8i8_matmul_multidim_out(self):
+    def test_i8i8_matmul_fused_3d(self):
+        # fused contract: w stored C-leading [C, D, N] -> out [C, T, N]
         x = jax.random.normal(jax.random.PRNGKey(4), (8, 32))
         w = jax.random.normal(jax.random.PRNGKey(5), (32, 2, 16)) * 0.1
         wq, ws = Q.quantize_weight(w, contract_axis=0)
+        out = Q.i8i8_matmul(x, wq.transpose(1, 0, 2), ws)
+        ref = jnp.einsum("td,dci->cti", x, w)
+        assert out.shape == (2, 8, 16)
+        rel = jnp.abs(out - ref).max() / jnp.abs(ref).max()
+        assert rel < 0.02
+
+    def test_i8i8_matmul_4d_out(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (8, 32))
+        w = jax.random.normal(jax.random.PRNGKey(5), (32, 2, 3, 16)) * 0.1
+        wq, ws = Q.quantize_weight(w, contract_axis=0)
         out = Q.i8i8_matmul(x, wq, ws)
-        ref = jnp.einsum("td,dci->tci", x, w)
-        assert out.shape == (8, 2, 16)
+        ref = jnp.einsum("td,dcgi->tcgi", x, w)
+        assert out.shape == (8, 2, 3, 16)
         rel = jnp.abs(out - ref).max() / jnp.abs(ref).max()
         assert rel < 0.02
 
@@ -83,6 +94,20 @@ class TestPallasI8I8Matmul:
     def test_multidim_out(self):
         self._check(8, 256, (2, 3, 64))
 
+    def test_fused_3d_c_leading(self):
+        from ppl.llm.serving_tpu.ops.pallas.quant_matmul import (
+            i8i8_matmul_pallas)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 256), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 2, 192),
+                              jnp.float32) * 0.1
+        wq, ws = Q.quantize_weight(w, contract_axis=0)
+        wq_c = wq.transpose(1, 0, 2)          # stored [C, D, N]
+        ref = Q.i8i8_matmul(x, wq_c, ws)      # [C, T, N]
+        out = i8i8_matmul_pallas(x, wq_c, ws, interpret=True, block_n=128)
+        assert out.shape == (2, 8, 192)
+        denom = float(jnp.abs(ref).max()) or 1.0
+        assert float(jnp.abs(out - ref).max()) / denom < 1e-5
+
     def test_nondivisible_n(self):
         self._check(16, 256, (300,), block_n=128)
 
@@ -96,7 +121,7 @@ class TestPallasI8I8Matmul:
             llama.init_params(CFG, jax.random.PRNGKey(0),
                               dtype=jnp.float32))
         cache, _ = kv_ops.init_cache(SPEC)
-        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
+        scale = jnp.zeros((1,), jnp.float32)
         cm = jnp.zeros((1, 1), jnp.int32)
         seq = (np.arange(20) * 7 + 3) % 250
         outs = []
@@ -104,7 +129,7 @@ class TestPallasI8I8Matmul:
             step = llama.make_step_fn(CFG, SPEC, return_logits=True,
                                       quant_method="online_i8i8",
                                       quant_impl=qimpl)
-            out = step(params, list(cache), list(scale), cm,
+            out = step(params, cache, scale, cm,
                        prefill_input(seq, SPEC), jax.random.PRNGKey(0))
             outs.append(np.asarray(out.logits[0]))
         rel = np.abs(outs[0] - outs[1]).max() / (np.abs(outs[0]).max() or 1)
@@ -158,7 +183,7 @@ def run_model(spec, quant_method):
                               quant_method=quant_method)
     cache, scale = kv_ops.init_cache(spec)
     if scale is None:
-        scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
+        scale = jnp.zeros((1,), jnp.float32)
     cm = jnp.zeros((1, 1), jnp.int32)
     seq = (np.arange(20) * 7 + 3) % 250
     out = step(params, cache, scale, cm, prefill_input(seq, spec),
@@ -204,7 +229,7 @@ def test_i8i8_plus_int8_kv_e2e_decode():
         quant_method="online_i8i8",
         token_buckets=(32, 64, 128, 256), batch_buckets=(4, 8, 16))
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
-    assert engine.kv_cache[0].dtype == jnp.int8
+    assert engine.kv_cache.dtype == jnp.int8
     conn = LocalConnection()
     gen = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(), conn,
                        kv_max)
@@ -235,7 +260,7 @@ def test_quantized_tp_sharding():
     cache, _ = kv_ops.init_cache(spec)
     p, c, s, cm = shardings.shard_engine_state(
         mesh, cfg, spec, params, cache,
-        [jnp.zeros((1,), jnp.float32) for _ in range(2)],
+        jnp.zeros((1,), jnp.float32),
         jnp.zeros((1, 1), jnp.int32))
     assert p["layers"][0]["wqkv_q"].sharding.spec[1] == "tp"
     assert p["layers"][0]["wqkv_s"].sharding.spec[0] == "tp"

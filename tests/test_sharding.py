@@ -54,7 +54,7 @@ def run_step(mesh=None):
     params = llama.init_params(CFG, jax.random.PRNGKey(0),
                                dtype=jnp.float32)
     cache, _ = kv_ops.init_cache(SPEC)
-    scale = [jnp.zeros((1,), jnp.float32) for _ in range(2)]
+    scale = jnp.zeros((1,), jnp.float32)
     cm = jnp.zeros((1, 1), jnp.int32)
     if mesh is not None:
         params, cache, scale, cm = shardings.shard_engine_state(
@@ -79,10 +79,10 @@ def test_tp_cache_sharded_and_updated():
     mesh = shardings.make_mesh(4)
     _, _, out = run_step(mesh=mesh)
     # cache stays sharded on the kv-head axis after the step
-    spec_set = out.kv_cache[0].sharding.spec
+    spec_set = out.kv_cache.sharding.spec
     assert spec_set[0] == "tp"
-    # and the prefill actually wrote into pages 0/1
-    assert np.abs(np.asarray(out.kv_cache[0][0, :, :20])).sum() > 0
+    # and the prefill actually wrote into layer 0's pages 0/1
+    assert np.abs(np.asarray(out.kv_cache[:, :20, :])).sum() > 0
 
 
 def test_validate_tp_rejects_indivisible():

@@ -86,8 +86,7 @@ def main():
         padded[:len(chunk)] = chunk
         cache, scale = kv_ops.init_cache(spec)
         if scale is None:
-            scale = [jnp.zeros((1,), jnp.float32)
-                     for _ in range(spec.num_layers)]
+            scale = jnp.zeros((1,), jnp.float32)
         nll, mask = nll_fn(params, cache, scale, jnp.asarray(padded),
                            jnp.asarray(len(chunk), jnp.int32), page_table)
         nll = np.asarray(nll)
