@@ -91,8 +91,11 @@ def main():
         # steps (analyze with tools/trace_summary.py)
         trace_dir=os.environ.get("BENCH_TRACE_DIR", ""),
         # the measured phase is ~9 loop steps (1 prefill + out/multi_step
-        # decode blocks); capture mid-run decode blocks
-        trace_start_step=3, trace_num_steps=4,
+        # decode blocks); capture mid-run decode blocks. Wave boundaries
+        # sit every ~9 steps: trace step 19-20 to catch a measured-phase
+        # prefill + ramp block.
+        trace_start_step=int(os.environ.get("BENCH_TRACE_START", "3")),
+        trace_num_steps=int(os.environ.get("BENCH_TRACE_STEPS", "4")),
     )
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
     conn = LocalConnection()

@@ -44,8 +44,17 @@ def _pick_block_n(d: int, n: int, target_bytes: int = 1 << 20) -> int:
 
 
 def _pick_block_t(d: int, t: int, target_bytes: int = 1 << 20) -> int:
-    """Activation tile rows: bound the resident [block_t, D] bf16 tile."""
+    """Activation tile rows: bound the resident [block_t, D] bf16 tile.
+
+    The weight streams once per t-tile, so prefill-sized calls must keep
+    the tile count low: at TinyLlama prefill (T=8192, D=2048) the old
+    512-row cap meant 32 weight re-streams — 34 GB of pure HBM traffic,
+    measured as a ~40% prefill-step overhead. Grow the tile (up to 1024
+    rows, ~6 MB x-tile VMEM at D=2048) until the weights re-stream at
+    most 8 times."""
     bt = max(128, min(512, (target_bytes // max(2 * d, 1)) // 128 * 128))
+    while bt < 1024 and -(-t // bt) > 8 and bt * 3 * d < 24 * (1 << 20):
+        bt *= 2
     return min(bt, max(8, ((t + 7) // 8) * 8))
 
 

@@ -62,7 +62,8 @@ def main():
 
     model_cfg, resource_cfg, gen_cfg = build_configs(args)
     tokenizer = create_tokenizer(args.model_type, resource_cfg.tokenizer_path,
-                                 args.tokenizer_type)
+                                 args.tokenizer_type,
+                                 args.tokenizer_config_path or None)
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
     conn = LocalConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,

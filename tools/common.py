@@ -52,6 +52,22 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multi-step", type=int, default=8,
                    help="decode-block size: N on-device steps per host "
                         "round trip (1 = per-step loop)")
+    p.add_argument("--tokenizer-config-path", default="",
+                   help="tokenizer_config.json for bos/eos overrides "
+                        "(reference --tokenizer-config-path)")
+    # TPU analogs of the reference's CUDA decoding-attention kernel
+    # knobs (--configure-decoding-attn-split-k / --disable-decoding-*,
+    # resource_manager.cc:74-112): kernel-variant selection flags.
+    p.add_argument("--attention-impl", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_interpret"],
+                   help="attention path: Pallas paged kernels or XLA "
+                        "reference")
+    p.add_argument("--attention-seq-block", type=int, default=8,
+                   help="decode-attention sequences per kernel program "
+                        "(DMA overlap width)")
+    p.add_argument("--sampling-top-k-cap", type=int, default=256,
+                   help="candidate cap for top-k/top-p sampling (0 = "
+                        "full vocab sort)")
 
 
 def add_generator_args(p: argparse.ArgumentParser) -> None:
@@ -71,6 +87,9 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable-prefix-cache", action="store_true")
     p.add_argument("--enable-penalty", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
+    p.add_argument("--speculative-blocks", type=int, default=1,
+                   help="decode-block pipeline depth (0 disables "
+                        "speculative block dispatch)")
     p.add_argument("--jax-trace-dir", default="",
                    help="capture a jax.profiler device trace of generator steps 10..20 (run must reach step 20)")
     p.add_argument("--disable-log-req", action="store_true")
@@ -118,6 +137,9 @@ def build_configs(args):
         quant_method=args.quant_method,
         quant_matmul_impl=args.quant_matmul_impl,
         multi_step=args.multi_step,
+        attention_impl=args.attention_impl,
+        attention_seq_block=args.attention_seq_block,
+        sampling_top_k_cap=args.sampling_top_k_cap,
     )
     max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch
     gen_cfg = GeneratorConfig(
@@ -135,6 +157,7 @@ def build_configs(args):
         special_tokens=parse_tokens_list(args.special_tokens),
         enable_prefix_cache=args.enable_prefix_cache,
         enable_profiling=args.enable_profiling,
+        speculative_blocks=args.speculative_blocks,
         trace_dir=args.jax_trace_dir,
     )
     return model_cfg, resource_cfg, gen_cfg

@@ -65,7 +65,8 @@ def main():
         plan_channel = multihost.controller_plan_channel
 
     tokenizer = create_tokenizer(args.model_type, resource_cfg.tokenizer_path,
-                                 args.tokenizer_type)
+                                 args.tokenizer_type,
+                                 args.tokenizer_config_path or None)
     conn = GRPCConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,
                              kv_max, plan_channel=plan_channel)
