@@ -146,6 +146,7 @@ class LLMEngine:
         self._multi_step = max(1, resource_cfg.multi_step)
         self._packed_cache: Dict[Any, Any] = {}
         self._last_final_tokens = None  # device [B_bucket], block feedback
+        self._last_handle: Optional[Dict[str, Any]] = None
 
         self.batch_buckets = tuple(resource_cfg.batch_buckets)
         self.token_buckets = tuple(resource_cfg.token_buckets)
@@ -477,13 +478,15 @@ class LLMEngine:
             c = profiler.current
             c.set_input_cost = (t1 - t0) // 1000
             c.model_forward_cost = (t2 - t1) // 1000
-        return {"toks_dev": toks_dev, "lps_dev": lps_dev,
-                "n_steps": n_steps, "bd": bd, "n_tasks": plan["n_tasks"],
-                "decode_idx": decode_idx, "prefill_idx": prefill_idx,
-                # continuation support (dispatch_continuation)
-                "packed_dev": packed, "advance": 0,
-                "bp": bp, "qp": qp, "kvp": kvp,
-                "greedy": plan.get("greedy", False)}
+        handle = {"toks_dev": toks_dev, "lps_dev": lps_dev,
+                  "n_steps": n_steps, "bd": bd, "n_tasks": plan["n_tasks"],
+                  "decode_idx": decode_idx, "prefill_idx": prefill_idx,
+                  # continuation support (dispatch_continuation)
+                  "packed_dev": packed, "advance": 0,
+                  "bp": bp, "qp": qp, "kvp": kvp,
+                  "greedy": plan.get("greedy", False)}
+        self._last_handle = handle
+        return handle
 
     def continuation_fits(self, handle: Dict[str, Any],
                           tasks: List[TaskState]) -> bool:
@@ -496,14 +499,18 @@ class LLMEngine:
                       for t in tasks)
         return -(-max_tok // self.spec.page_size) <= handle["kvp"]
 
-    def dispatch_continuation(self, handle: Dict[str, Any], profiler=None
-                              ) -> Dict[str, Any]:
+    def dispatch_continuation(self, handle: Optional[Dict[str, Any]] = None,
+                              profiler=None) -> Dict[str, Any]:
         """Dispatch the next decode block after ``handle`` with ZERO host
         plan assembly: reuses the device-resident packed plan, advances
         positions on device, feeds the base block's final sampled tokens.
 
         The speculative-pipelining fast path: per-block host work drops to
-        one jit dispatch (vs build_plan + pack + H2D re-upload)."""
+        one jit dispatch (vs build_plan + pack + H2D re-upload).
+        ``handle=None`` continues from this engine's most recent dispatch
+        (the lockstep worker case — workers track no spec queue)."""
+        if handle is None:
+            handle = self._last_handle
         t0 = time.perf_counter_ns()
         n_steps = handle["n_steps"]
         adv = handle["advance"] + n_steps
@@ -525,7 +532,14 @@ class LLMEngine:
             profiler.current.model_forward_cost = (t1 - t0) // 1000
         out = dict(handle)
         out.update(toks_dev=toks_dev, lps_dev=lps_dev, advance=adv)
+        self._last_handle = out
         return out
+
+    def run_continuation(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Lockstep-worker entry for a controller 'continuation' message:
+        dispatch the next block after this engine's last dispatch and
+        consume the result (multihost.worker_serve)."""
+        return self.fetch_plan_result(self.dispatch_continuation())
 
     def fetch_plan_result(self, handle: Dict[str, Any], profiler=None
                           ) -> Tuple[np.ndarray, np.ndarray]:

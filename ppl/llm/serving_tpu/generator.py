@@ -506,11 +506,14 @@ class LLMGenerator:
                             break
                         base = (self._spec_queue[-1][0]
                                 if self._spec_queue else handle)
-                        if (self._plan_channel is None
-                                and self.engine.continuation_fits(
-                                    base, tasks)):
+                        if self.engine.continuation_fits(base, tasks):
                             # fast path: device-resident plan, positions
-                            # advanced on device, zero host re-assembly
+                            # advanced on device, zero host re-assembly.
+                            # Lockstep workers get a tiny continuation
+                            # message instead of a full plan broadcast.
+                            if self._plan_channel is not None:
+                                self._plan_channel(
+                                    {"continuation": True, "n_steps": n})
                             self._spec_queue.append(
                                 (self.engine.dispatch_continuation(base),
                                  tasks))

@@ -138,6 +138,12 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
             + t * c * n * 4,
             transcendentals=0,
         ),
+        # prefill-sized activation tiles (1024 rows, see _pick_block_t)
+        # need ~20 MB of double-buffered VMEM — above the 16 MB default
+        # scoped limit, comfortably under the 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, w3, s3)
     if fused:

@@ -75,7 +75,14 @@ def worker_serve(engine) -> None:
         if msg.get("op") == "stop":
             logger.info("worker %d stopping", jax.process_index())
             return
-        engine.run_plan(msg["plan"])
+        plan = msg["plan"]
+        if plan.get("continuation"):
+            # speculative-block fast path: continue from this engine's
+            # previous dispatch (device-resident plan, no arrays on the
+            # wire) — workers track no spec queue, just the last handle
+            engine.run_continuation()
+        else:
+            engine.run_plan(plan)
 
 
 def broadcast_stop() -> None:

@@ -41,15 +41,18 @@ def test_plan_pickles():
 
 def test_generator_with_plan_channel_roundtrip():
     """A pickle-roundtrip plan channel (what broadcast does) must not
-    change results."""
+    change results; speculative continuation rides the channel as a tiny
+    marker message instead of a full plan."""
     calls = []
 
     def channel(plan):
-        calls.append(plan["n_steps"])
+        calls.append(("cont" if plan.get("continuation") else "step",
+                      plan["n_steps"]))
         return pickle.loads(pickle.dumps(plan))
 
     model_cfg = make_model_cfg()
     gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
     resource_cfg = ResourceConfig(
         model_format="random", kv_cache_max_tokens=2048,
         token_buckets=(32, 64, 128, 256), batch_buckets=(4, 8, 16))
@@ -58,16 +61,20 @@ def test_generator_with_plan_channel_roundtrip():
     gen = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(), conn,
                        kv_max, plan_channel=channel)
     try:
-        run(gen, conn, [req(1, prompt="channel test", gen_len=10)])
-        assert len(conn.tokens[1]) == 10
+        run(gen, conn, [req(1, prompt="channel test", gen_len=32)])
+        assert len(conn.tokens[1]) == 32
         assert len(calls) >= 2  # prefill step + decode block(s)
+        assert any(kind == "cont" for kind, _ in calls)
     finally:
         gen.shutdown()
 
     # compare against the no-channel run
-    gen2, conn2 = build()
+    from test_generator_e2e import build as build2
+    cfg2 = make_gen_cfg()
+    cfg2.speculative_blocks = 2
+    gen2, conn2 = build2(gen_cfg=cfg2)
     try:
-        run(gen2, conn2, [req(1, prompt="channel test", gen_len=10)])
+        run(gen2, conn2, [req(1, prompt="channel test", gen_len=32)])
         assert conn2.tokens[1] == conn.tokens[1]
     finally:
         gen2.shutdown()
