@@ -127,6 +127,7 @@ class LLMGenerator:
         # token fetch + bookkeeping) exceeds one block's device time.
         self._spec_queue: "deque" = deque()
         self._spec_depth = max(0, gen_cfg.speculative_blocks)
+        self._pending_slot_clears: List[int] = []
         self._wake = threading.Condition()
         self._active = True
         self._thread = threading.Thread(target=self._thread_func,
@@ -385,7 +386,14 @@ class LLMGenerator:
             self.profiler.req_counter.output_tokens_per_req += t.gen_tokens_cnt
         if gone:
             self._tid_list = [t for t in self._tid_list if t.tid not in gone]
-            self.engine.clear_penalty_slots(removed_slots)
+            # in-flight speculative blocks may still scatter-add counts
+            # for these slots on device; clear only once the spec queue
+            # has drained (slots can't be re-allocated before then — the
+            # admission gate blocks while the queue is non-empty)
+            if self._spec_queue:
+                self._pending_slot_clears.extend(removed_slots)
+            else:
+                self.engine.clear_penalty_slots(removed_slots)
         return removed_slots
 
     def _release_all(self, errmsg: str) -> None:
@@ -453,6 +461,9 @@ class LLMGenerator:
 
         while True:
             t_step0 = now_us()
+            if self._pending_slot_clears and not self._spec_queue:
+                self.engine.clear_penalty_slots(self._pending_slot_clears)
+                self._pending_slot_clears.clear()
             res.reset_step(len(self._tid_list))
             prof = self.profiler
             with TimingGuard() as prep_t:
@@ -629,6 +640,9 @@ class LLMGenerator:
                 prof.dev_mem_total, prof.dev_mem_free = total, free
                 self.conn.on_profiling(prof)
 
+        if self._pending_slot_clears:
+            self.engine.clear_penalty_slots(self._pending_slot_clears)
+            self._pending_slot_clears.clear()
         if self._decode_future is not None:
             self._decode_future.result()
             self._decode_future = None

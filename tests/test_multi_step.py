@@ -157,3 +157,33 @@ def test_speculation_not_used_with_early_stopping():
         assert 1 <= len(conn.tokens[1]) <= 30
     finally:
         gen.shutdown()
+
+
+def test_cancel_with_penalty_during_speculation():
+    """Cancel mid-speculation with penalties on: the penalty slot's
+    count-map clear must wait for the spec queue to drain (an in-flight
+    block still scatter-adds to that slot on device), and every slot is
+    reclaimed by the end."""
+    import time
+    from test_generator_e2e import build, make_gen_cfg
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen_cfg.enable_penalty = True
+    gen, conn = build(gen_cfg=gen_cfg,
+                      resource_kw=dict(multi_step=4, enable_penalty=True))
+    try:
+        reqs = [req(i, prompt=f"pen {i}", gen_len=48) for i in range(3)]
+        for r in reqs:
+            r.repetition_penalty = 1.1
+        conn.set_wanted(2)  # two finish; one will be canceled
+        for r in reqs:
+            gen.process(r)
+        time.sleep(0.3)
+        gen.clear_task(1)
+        assert conn.wait(timeout=180)
+        time.sleep(0.5)
+        assert not gen._pending_slot_clears
+        assert (gen.batch_slots_mgr.get_available_block_num()
+                == gen.gen_cfg.max_running_batch)
+    finally:
+        gen.shutdown()
