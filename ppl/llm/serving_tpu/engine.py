@@ -446,6 +446,13 @@ class LLMEngine:
             packed = jnp.asarray(packed_np)
         feed = bool(plan.get("feed_device_tokens")
                     and self._last_final_tokens is not None)
+        if feed and plan.get("feed_perm") is not None:
+            # bucket-row permutation: the previous step's sampled tokens
+            # sit at that step's bucket rows (e.g. prefill rows bd..bd+bp);
+            # reorder them to this plan's decode-row order on device
+            self._last_final_tokens = jnp.take(
+                self._last_final_tokens,
+                jnp.asarray(plan["feed_perm"], jnp.int32))
         runner = self._get_packed_runner(n_steps, feed, bd, bp, qp, kvp,
                                          greedy=plan.get("greedy", False))
         rng = jax.random.fold_in(self._rng, self._step_counter)
@@ -488,12 +495,20 @@ class LLMEngine:
         self._last_handle = handle
         return handle
 
+    @property
+    def multi_step_block(self) -> int:
+        """Decode-block size (steps per dispatch)."""
+        return self._multi_step
+
     def continuation_fits(self, handle: Dict[str, Any],
                           tasks: List[TaskState]) -> bool:
         """True when another ``n_steps`` decode block after ``handle``
         still fits the handle's page-table bucket (the only shape that can
-        grow across decode blocks)."""
+        grow across decode blocks). Prefill-containing and single-step
+        bases can't continue — their packed plan has the wrong shape."""
         n = handle["n_steps"]
+        if n <= 1 or handle["bp"] != 0:
+            return False
         adv = handle["advance"] + n
         max_tok = max(t.start_pos + len(t.next_tokens) + adv + n - 1
                       for t in tasks)

@@ -17,3 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the generator e2e tests compile dozens of
+# (bucket, feed, block) step variants; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

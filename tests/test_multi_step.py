@@ -187,3 +187,61 @@ def test_cancel_with_penalty_during_speculation():
                 == gen.gen_cfg.max_running_batch)
     finally:
         gen.shutdown()
+
+
+def test_prefill_seeded_speculation_equivalence():
+    """The first decode block after a prefill is dispatched speculatively
+    with device-fed, row-permuted prefill tokens — results must match the
+    unpipelined run exactly, and the perm path must actually fire."""
+    from test_generator_e2e import build, make_gen_cfg
+    results = {}
+    for depth in (0, 2):
+        gen_cfg = make_gen_cfg()
+        gen_cfg.speculative_blocks = depth
+        gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+        perms = []
+        orig = gen.engine.dispatch_plan
+
+        def spying(plan, profiler=None, _orig=orig, _p=perms):
+            if plan.get("feed_perm") is not None:
+                _p.append(plan["feed_perm"])
+            return _orig(plan, profiler=profiler)
+
+        gen.engine.dispatch_plan = spying
+        try:
+            reqs = [req(i, prompt=f"seed {i} padding words", gen_len=24)
+                    for i in range(3)]
+            run(gen, conn, reqs)
+            results[depth] = {i: list(conn.tokens[i]) for i in range(3)}
+            if depth:
+                assert perms, "prefill-seeded speculation never fired"
+        finally:
+            gen.shutdown()
+    assert results[0] == results[2]
+
+
+def test_cancel_last_task_with_spec_in_flight_then_new_request():
+    """Canceling the only running request while speculative blocks are in
+    flight must not wedge the generator: stale blocks are drained and the
+    next request is admitted normally (regression: the admission gate
+    blocked forever on the stale spec queue and the wakeup loop spun)."""
+    import time
+    from test_generator_e2e import build, make_gen_cfg
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    try:
+        r = req(1, prompt="cancel me please", gen_len=64)
+        conn.set_wanted(1)
+        gen.process(r)
+        time.sleep(0.4)  # prefill done, speculation in flight
+        gen.clear_task(1)
+        time.sleep(0.5)
+        # a fresh request must be admitted and complete
+        conn.set_wanted(1)
+        gen.process(req(2, prompt="after cancel", gen_len=6))
+        assert conn.wait(timeout=120), "generator wedged after cancel"
+        assert len(conn.tokens[2]) == 6
+        assert not gen._spec_queue
+    finally:
+        gen.shutdown()
