@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# Honor PPL_PLATFORM=cpu for hardware-free smoke runs (the environment's
+# site hook pins JAX_PLATFORMS=axon before env vars can win).
+if os.environ.get("PPL_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PPL_PLATFORM"])
+
 # Persistent compilation cache: the unrolled multi-step decode programs
 # take minutes to compile; cache them across bench runs.
 jax.config.update("jax_compilation_cache_dir",
@@ -124,9 +129,16 @@ def main():
     conn.set_wanted(len(warm))
     for r in warm:
         gen.process(r)
-    conn.wait(timeout=1800)
-    print(f"[bench] warmup {time.perf_counter() - t_warm:.1f}s",
-          file=sys.stderr, flush=True)
+    # cold-cache warmup compiles several unrolled decode-block programs
+    # through the (slow) tunnel compiler — give it real headroom, and if
+    # it still isn't done, WAIT for the warmup wave to finish before
+    # measuring (measuring on top of a straggling warmup wave counts its
+    # tokens against the wrong wave)
+    warm_ok = conn.wait(timeout=3300)
+    print(f"[bench] warmup {time.perf_counter() - t_warm:.1f}s "
+          f"(completed={warm_ok})", file=sys.stderr, flush=True)
+    if not warm_ok:
+        conn.wait(timeout=1200)
     time.sleep(0.5)
 
     # measured run: several waves for timing resolution (one wave is ~1 s
