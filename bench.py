@@ -50,8 +50,21 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     # BENCH_CONFIG=bf16 (default) | i8i8 (int8 weights + int8 KV)
     #   | i8i8_w (int8 weights, bf16 KV) | kv8 (bf16 weights, int8 KV)
+    #   | i8i8_7b (LLaMA-2-7B shapes, int8 weights + int8 KV — the
+    #     BASELINE.md north-star config; ~7.5 GB int8 weights fit a
+    #     single v5e chip's 16 GB HBM)
     variant = os.environ.get("BENCH_CONFIG", "bf16")
-    if on_tpu:
+    model_name = "tinyllama1.1b"
+    if on_tpu and variant == "i8i8_7b":
+        model_name = "llama2-7b"
+        model_cfg = ModelConfig(
+            hidden_dim=4096, intermediate_dim=11008, num_layers=32,
+            num_heads=32, num_kv_heads=32, vocab_size=32000,
+            cache_mode=1, page_size=128, dtype="bfloat16")
+        batch, prompt_len, gen_len = 32, 128, 128
+        kv_tokens = 16 * 1024   # 32 kv heads -> 16k tokens ~ 5.2 GB int8
+        variant = "i8i8"
+    elif on_tpu:
         model_cfg = ModelConfig(
             hidden_dim=2048, intermediate_dim=5632, num_layers=22,
             num_heads=32, num_kv_heads=4, vocab_size=32000,
@@ -204,7 +217,7 @@ def main():
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 4),
-        "config": (f"tinyllama1.1b-{variant}" if on_tpu else "tiny-smoke")
+        "config": (f"{model_name}-{variant}" if on_tpu else "tiny-smoke")
         + f"-b{batch}-in{prompt_len}-out{gen_len}",
         "p50_ttft_ms": round(p50_ttft_ms, 1),
         "elapsed_s": round(elapsed, 2),
