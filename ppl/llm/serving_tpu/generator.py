@@ -431,6 +431,81 @@ class LLMGenerator:
             rsp_list.append(rsp)
         self.conn.send(rsp_list)
 
+    # -- speculative decode-block pipeline ----------------------------------
+
+    def _dispatch_speculative(self, handle, tasks: List[TaskState]) -> None:
+        """While ``handle``'s block runs on device, dispatch up to
+        ``speculative_blocks`` FURTHER decode blocks with device-fed
+        tokens so the fetch/H2D host latency overlaps device compute.
+
+        Only when membership cannot change: empty pending queue, no
+        in-flight cancels, and every task outlives the tokens consumed
+        before each dispatched block (no LENGTH finishes before it
+        starts; tokens generated past a finish are discarded at
+        consume). A PREFILL step can also seed the pipeline: the first
+        decode block feeds the prefill's sampled tokens on device
+        through a bucket-row permutation, so the device never idles
+        across the prefill->decode boundary.
+        """
+        n = handle["n_steps"]
+        blk = self.engine.multi_step_block
+        base_prefill = bool(handle["prefill_idx"])
+        if (self.sched.get_pending_size() > 0
+                or not self._finished.empty()
+                or not ((n > 1 and not base_prefill)
+                        or (base_prefill and n == 1 and blk > 1))):
+            return
+        while len(self._spec_queue) < self._spec_depth:
+            depth = len(self._spec_queue)
+            # tokens consumed before the new block begins
+            ahead = (1 + depth * blk if base_prefill
+                     else (depth + 1) * n)
+            if not all(t.rest_iters > ahead and not t.early_stopping
+                       for t in tasks):
+                return
+            base = (self._spec_queue[-1][0]
+                    if self._spec_queue else handle)
+            if self.engine.continuation_fits(base, tasks):
+                # fast path: device-resident plan, positions advanced on
+                # device, zero host re-assembly. Lockstep workers get a
+                # tiny continuation message instead of a plan broadcast.
+                if self._plan_channel is not None:
+                    self._plan_channel({"continuation": True,
+                                        "n_steps": base["n_steps"]})
+                self._spec_queue.append(
+                    (self.engine.dispatch_continuation(base), tasks))
+                continue
+            if base_prefill:
+                adv = [dataclasses.replace(
+                    t,
+                    start_pos=(t.start_pos + len(t.next_tokens)
+                               + depth * blk),
+                    rest_iters=t.rest_iters - ahead,
+                    next_tokens=[0]) for t in tasks]
+            else:
+                adv = [dataclasses.replace(
+                    t, start_pos=t.start_pos + ahead,
+                    rest_iters=t.rest_iters - ahead,
+                    next_tokens=[0]) for t in tasks]
+            spec_plan = self.engine.build_plan(adv)
+            spec_plan["feed_device_tokens"] = True
+            if base_prefill and depth == 0:
+                # sampled tokens sit at the prefill plan's bucket rows;
+                # map them to this plan's decode-row order
+                prev_row = {}
+                for r, i in enumerate(handle["decode_idx"]):
+                    prev_row[i] = r
+                for pr, i in enumerate(handle["prefill_idx"]):
+                    prev_row[i] = handle["bd"] + pr
+                perm = np.zeros(spec_plan["bd"], np.int32)
+                for newr, i in enumerate(spec_plan["decode_idx"]):
+                    perm[newr] = prev_row[i]
+                spec_plan["feed_perm"] = perm
+            if self._plan_channel is not None:
+                spec_plan = self._plan_channel(spec_plan)
+            self._spec_queue.append(
+                (self.engine.dispatch_plan(spec_plan), tasks))
+
     # -- THE hot loop (``llm_generator.cc:574-785``) ------------------------
 
     def _generate(self) -> None:
@@ -507,80 +582,7 @@ class LLMGenerator:
                     if self._plan_channel is not None:
                         plan = self._plan_channel(plan)
                     handle = self.engine.dispatch_plan(plan, profiler=prof)
-                # speculative pipelining: while this block runs on device,
-                # dispatch up to ``speculative_blocks`` FURTHER decode
-                # blocks with device-fed tokens so the fetch/H2D host
-                # latency overlaps device compute. Only when membership
-                # cannot change: empty queue, no pending cancels, and
-                # every task outlives the tokens consumed before each
-                # dispatched block (no LENGTH finishes before it starts;
-                # tokens past a finish are discarded at consume).
-                # A PREFILL step can also seed the pipeline: the first
-                # decode block feeds the prefill's sampled tokens on
-                # device through a bucket-row permutation, so the device
-                # never idles across the prefill->decode boundary.
-                n = handle["n_steps"]
-                blk = self.engine.multi_step_block
-                base_prefill = bool(handle["prefill_idx"])
-                eligible = (
-                    self.sched.get_pending_size() == 0
-                    and self._finished.empty()
-                    and ((n > 1 and not base_prefill)
-                         or (base_prefill and n == 1 and blk > 1)))
-                while eligible and len(self._spec_queue) < self._spec_depth:
-                    depth = len(self._spec_queue)
-                    # tokens consumed before the new block begins
-                    ahead = (1 + depth * blk if base_prefill
-                             else (depth + 1) * n)
-                    if not all(t.rest_iters > ahead
-                               and not t.early_stopping
-                               for t in tasks):
-                        break
-                    base = (self._spec_queue[-1][0]
-                            if self._spec_queue else handle)
-                    if self.engine.continuation_fits(base, tasks):
-                        # fast path: device-resident plan, positions
-                        # advanced on device, zero host re-assembly.
-                        # Lockstep workers get a tiny continuation
-                        # message instead of a full plan broadcast.
-                        if self._plan_channel is not None:
-                            self._plan_channel(
-                                {"continuation": True,
-                                 "n_steps": base["n_steps"]})
-                        self._spec_queue.append(
-                            (self.engine.dispatch_continuation(base),
-                             tasks))
-                        continue
-                    if base_prefill:
-                        adv = [dataclasses.replace(
-                            t,
-                            start_pos=(t.start_pos + len(t.next_tokens)
-                                       + depth * blk),
-                            rest_iters=t.rest_iters - ahead,
-                            next_tokens=[0]) for t in tasks]
-                    else:
-                        adv = [dataclasses.replace(
-                            t, start_pos=t.start_pos + ahead,
-                            rest_iters=t.rest_iters - ahead,
-                            next_tokens=[0]) for t in tasks]
-                    spec_plan = self.engine.build_plan(adv)
-                    spec_plan["feed_device_tokens"] = True
-                    if base_prefill and depth == 0:
-                        # sampled tokens sit at the prefill plan's bucket
-                        # rows; map them to this plan's decode-row order
-                        prev_row = {}
-                        for r, i in enumerate(handle["decode_idx"]):
-                            prev_row[i] = r
-                        for pr, i in enumerate(handle["prefill_idx"]):
-                            prev_row[i] = handle["bd"] + pr
-                        perm = np.zeros(spec_plan["bd"], np.int32)
-                        for newr, i in enumerate(spec_plan["decode_idx"]):
-                            perm[newr] = prev_row[i]
-                        spec_plan["feed_perm"] = perm
-                    if self._plan_channel is not None:
-                        spec_plan = self._plan_channel(spec_plan)
-                    self._spec_queue.append(
-                        (self.engine.dispatch_plan(spec_plan), tasks))
+                self._dispatch_speculative(handle, tasks)
                 tokens, logprobs = self.engine.fetch_plan_result(
                     handle, profiler=prof)
             except Exception as e:  # engine failure fails all running tasks
