@@ -35,6 +35,13 @@ def main():
     parser.add_argument("--monitor-port", type=int, default=0,
                         help="serve Prometheus metrics on this port "
                              "(0 = off)")
+    # accepted for reference-CLI compatibility; the reference parses it
+    # but nothing serves it there either (llm_server.cc:89-90)
+    parser.add_argument("--control-port", type=int, default=0,
+                        help=argparse.SUPPRESS)
+    from ppl.llm.serving_tpu import __version__
+    parser.add_argument("--version", action="version",
+                        version=f"ppl-llm-serving-tpu {__version__}")
     args = parser.parse_args()
     setup_logging()
     # crash backtraces (reference installs a SIGSEGV/FPE/ILL handler,
