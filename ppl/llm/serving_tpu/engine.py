@@ -500,6 +500,11 @@ class LLMEngine:
         """Decode-block size (steps per dispatch)."""
         return self._multi_step
 
+    @property
+    def last_handle(self) -> Optional[Dict[str, Any]]:
+        """Most recent dispatch handle (continuation base bookkeeping)."""
+        return self._last_handle
+
     def continuation_fits(self, handle: Dict[str, Any],
                           tasks: List[TaskState]) -> bool:
         """True when another ``n_steps`` decode block after ``handle``

@@ -130,6 +130,9 @@ class LLMGenerator:
         self._spec_queue: "deque" = deque()
         self._spec_depth = max(0, gen_cfg.speculative_blocks)
         self._pending_slot_clears: List[int] = []
+        # membership signature of the engine's last dispatch (reactive
+        # continuation guard); None whenever membership may have changed
+        self._last_sig = None
         self._wake = threading.Condition()
         self._active = True
         self._thread = threading.Thread(target=self._thread_func,
@@ -376,6 +379,7 @@ class LLMGenerator:
             t = self._tid_map.pop(tid, None)
             if t is None:
                 continue
+            self._last_sig = None  # membership changed (tid may be reused)
             if _src == _FROM_CONN:
                 # canceled mid-stream: drop the detok state on its owner
                 # thread (worker-finished tasks clean up in _decode_and_send)
@@ -407,6 +411,7 @@ class LLMGenerator:
         self._tid_map.clear()
         self.prefix_cache.reset()
         self._decode_state.clear()
+        self._last_sig = None
 
     # -- decode + send (runs on the detok worker) ---------------------------
 
@@ -430,6 +435,36 @@ class LLMGenerator:
                 self._decode_state.pop(tid, None)
             rsp_list.append(rsp)
         self.conn.send(rsp_list)
+
+    # -- dispatch ------------------------------------------------------------
+
+    def _dispatch_next(self, tasks: List[TaskState], prof) -> Dict:
+        """Dispatch the next step/block for ``tasks``.
+
+        REACTIVE continuation: early-stopping requests can never be
+        dispatched speculatively (a stop token may end them mid-block),
+        so each decode block otherwise pays a full host plan rebuild +
+        re-upload. When the membership is unchanged since the last
+        dispatch and every row is a decode row, the next block is by
+        construction a pure continuation of the device-resident plan —
+        reuse it. (Not speculative: this runs after the previous block's
+        finishes are known, so stop-token semantics are untouched.)
+        """
+        sig = tuple(t.tid for t in tasks)
+        last = self.engine.last_handle
+        if (sig == self._last_sig and last is not None
+                and all(len(t.next_tokens) == 1 for t in tasks)
+                and self.engine.continuation_fits(last, tasks)):
+            if self._plan_channel is not None:
+                self._plan_channel({"continuation": True,
+                                    "n_steps": last["n_steps"]})
+            return self.engine.dispatch_continuation(profiler=prof)
+        plan = self.engine.build_plan(tasks)
+        if self._plan_channel is not None:
+            plan = self._plan_channel(plan)
+        handle = self.engine.dispatch_plan(plan, profiler=prof)
+        self._last_sig = sig
+        return handle
 
     # -- speculative decode-block pipeline ----------------------------------
 
@@ -565,6 +600,7 @@ class LLMGenerator:
                     while self._spec_queue:
                         stale, _ = self._spec_queue.popleft()
                         self.engine.fetch_plan_result(stale)
+                    self._last_sig = None
                     break
                 prof.max_running_task = max(prof.max_running_task,
                                             running_batch)
@@ -578,10 +614,7 @@ class LLMGenerator:
                     # (same task membership by construction)
                     handle, tasks = self._spec_queue.popleft()
                 else:
-                    plan = self.engine.build_plan(tasks)
-                    if self._plan_channel is not None:
-                        plan = self._plan_channel(plan)
-                    handle = self.engine.dispatch_plan(plan, profiler=prof)
+                    handle = self._dispatch_next(tasks, prof)
                 self._dispatch_speculative(handle, tasks)
                 tokens, logprobs = self.engine.fetch_plan_result(
                     handle, profiler=prof)

@@ -245,3 +245,38 @@ def test_cancel_last_task_with_spec_in_flight_then_new_request():
         assert not gen._spec_queue
     finally:
         gen.shutdown()
+
+
+def test_reactive_continuation_with_early_stopping():
+    """Early-stopping requests can't speculate, but unchanged-membership
+    decode blocks still reuse the device-resident plan reactively — and
+    tokens must match the non-continuation run exactly."""
+    from test_generator_e2e import build, make_gen_cfg
+    results = {}
+    for depth in (0, 1):
+        gen_cfg = make_gen_cfg()
+        gen_cfg.speculative_blocks = depth
+        gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+        conts = {"n": 0}
+        orig = gen.engine.dispatch_continuation
+
+        def counting(handle=None, profiler=None):
+            conts["n"] += 1
+            return orig(handle, profiler=profiler)
+
+        gen.engine.dispatch_continuation = counting
+        try:
+            # early_stopping=True with an unreachable stop token: blocks
+            # run to LENGTH, membership never changes mid-run
+            reqs = []
+            for i in range(2):
+                r = req(i, prompt=f"reactive {i}", gen_len=24,
+                        early_stopping=True)
+                r.stop_tokens = {300000}
+                reqs.append(r)
+            run(gen, conn, reqs)
+            results[depth] = {i: list(conn.tokens[i]) for i in range(2)}
+            assert conts["n"] > 0, "reactive continuation never fired"
+        finally:
+            gen.shutdown()
+    assert results[0] == results[1]
