@@ -308,13 +308,37 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
 
         x = params["embedding"][flat_tokens].astype(compute_dtype)  # [T, D]
 
-        # decode-only steps DEFER the cache write: attention takes the
-        # current token's k/v as an explicit self-term and ALL layers'
-        # K/V land in one fused scatter after the forward (measured 3.8x
-        # faster than per-layer scatters, and off the layer critical
-        # path). Prefill steps keep the append-before-attention order —
-        # chunked-causal attention must see this step's own tokens.
-        defer_append = bd > 0 and bp == 0
+        # EVERY step DEFERS the cache write: decode rows enter attention
+        # as an explicit self-term, prefill rows stream this step's K/V
+        # from dense fresh inputs (page-aligned source split inside the
+        # kernel), and ALL layers' K/V land in one fused scatter after
+        # the forward — measured 3.8x cheaper than per-layer scatters
+        # and off the layer-to-layer critical path.
+        cache_dt = jnp.int8 if spec.quantized else spec.dtype
+
+        def prep_fresh_prefill(k, v):
+            """This step's prefill K/V in the kernel's page-slab form:
+            ([Bp, KVH, Qp, 2*shd] packed rows in cache dtype,
+             [Bp, Qp, scale_lanes] packed scale rows or None,
+             dequantized (k, v) for the XLA reference path)."""
+            kp = k[bd:].reshape(bp, qp, n_kv, hd)
+            vp = v[bd:].reshape(bp, qp, n_kv, hd)
+            if spec.quantized:
+                qk, sk = kv_ops.quantize_kv(kp, spec.quant_group)
+                qv, sv = kv_ops.quantize_kv(vp, spec.quant_group)
+                rows = kv_ops.pack_kv_rows(qk, qv, spec)
+                fscale = kv_ops._pack_scale_rows(sk, sv, spec)
+                # the reference path sees the same int8 roundtrip the
+                # kernel dequantizes, keeping both paths bit-comparable
+                kp = kv_ops.dequantize_kv(qk, sk, spec.quant_group,
+                                          compute_dtype)
+                vp = kv_ops.dequantize_kv(qv, sv, spec.quant_group,
+                                          compute_dtype)
+            else:
+                rows = kv_ops.pack_kv_rows(
+                    kp.astype(cache_dt), vp.astype(cache_dt), spec)
+                fscale = None
+            return rows.transpose(0, 2, 1, 3), fscale, kp, vp
 
         def layer(x, p, li, kv_cache, kv_scale):
             h = rms_norm(x, p["attn_norm"], eps)
@@ -331,36 +355,39 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 q = apply_rope(q, flat_pos, theta)
                 k = apply_rope(k, flat_pos, theta)
 
-            new_kv = None
-            if defer_append:
-                new_kv = (k, v)
-            else:
-                kv_cache, kv_scale = kv_ops.append_kv(
-                    kv_cache, kv_scale, k, v, slots, spec, layer=li)
-
+            new_kv = (k, v)
             sl = kv_scale if spec.quantized else None
-            fk, fv = (k[:bd], v[:bd]) if defer_append else (None, None)
             if use_pallas:
                 attn_d = (pallas_attn.paged_decode_attention(
                     q[:bd], kv_cache, sl, pt_decode, ctx_decode, spec,
-                    layer=li, fresh_k=fk, fresh_v=fv,
+                    layer=li, fresh_k=k[:bd], fresh_v=v[:bd],
                     seq_block=seq_block,
                     interpret=interpret, alibi=slopes) if bd else
                     jnp.zeros((0, n_q, hd), compute_dtype))
-                attn_p = (pallas_attn.paged_prefill_attention(
-                    q[bd:].reshape(bp, qp, n_q, hd), kv_cache, sl,
-                    pt_prefill, inp.prefill_start, inp.prefill_len, spec,
-                    layer=li,
-                    interpret=interpret, alibi=slopes) if bp else
-                    jnp.zeros((0, qp, n_q, hd), compute_dtype))
+                if bp:
+                    fslab, fscale, _, _ = prep_fresh_prefill(k, v)
+                    attn_p = pallas_attn.paged_prefill_attention(
+                        q[bd:].reshape(bp, qp, n_q, hd), kv_cache, sl,
+                        pt_prefill, inp.prefill_start, inp.prefill_len,
+                        spec, layer=li, fresh_kv=fslab,
+                        fresh_scale=fscale,
+                        interpret=interpret, alibi=slopes)
+                else:
+                    attn_p = jnp.zeros((0, qp, n_q, hd), compute_dtype)
             else:
                 attn_d = attn_ops.decode_attention_ref(
                     q[:bd], kv_cache, kv_scale, pt_decode, ctx_decode,
-                    spec, layer=li, fresh_k=fk, fresh_v=fv, alibi=slopes)
-                attn_p = attn_ops.prefill_attention_ref(
-                    q[bd:].reshape(bp, qp, n_q, hd), kv_cache, kv_scale,
-                    pt_prefill, inp.prefill_start, inp.prefill_len, spec,
-                    layer=li, alibi=slopes)
+                    spec, layer=li, fresh_k=k[:bd], fresh_v=v[:bd],
+                    alibi=slopes)
+                if bp:
+                    _, _, kp, vp = prep_fresh_prefill(k, v)
+                    attn_p = attn_ops.prefill_attention_ref(
+                        q[bd:].reshape(bp, qp, n_q, hd), kv_cache,
+                        kv_scale, pt_prefill, inp.prefill_start,
+                        inp.prefill_len, spec, layer=li,
+                        fresh_k=kp, fresh_v=vp, alibi=slopes)
+                else:
+                    attn_p = jnp.zeros((0, qp, n_q, hd), compute_dtype)
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])
@@ -381,11 +408,10 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 x, p, li, kv_cache, kv_scale)
             new_kvs.append(new_kv)
 
-        if defer_append:
-            ks = jnp.stack([kv[0] for kv in new_kvs])  # [L, T, KVH, hd]
-            vs = jnp.stack([kv[1] for kv in new_kvs])
-            kv_cache, kv_scale = kv_ops.append_kv_block(
-                kv_cache, kv_scale, ks, vs, slots, spec)
+        ks = jnp.stack([kv[0] for kv in new_kvs])  # [L, T, KVH, hd]
+        vs = jnp.stack([kv[1] for kv in new_kvs])
+        kv_cache, kv_scale = kv_ops.append_kv_block(
+            kv_cache, kv_scale, ks, vs, slots, spec)
 
         x = rms_norm(x, params["final_norm"], eps)
 

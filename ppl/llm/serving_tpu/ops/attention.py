@@ -140,10 +140,26 @@ def prefill_attention_ref(
     spec: CacheSpec,
     alibi: Optional[jax.Array] = None,   # f32[q_heads] slopes
     layer: int = 0,
+    fresh_k: Optional[jax.Array] = None,  # [Bp, Qp, kv_heads, hd] deferred
+    fresh_v: Optional[jax.Array] = None,
 ) -> jax.Array:                  # [Bp, Qp, q_heads, head_dim]
+    """Deferred-append mode (``fresh_k/v`` given): this step's K/V is not
+    in the cache; positions >= start read the fresh tensors instead
+    (position p of row b maps to fresh[b, p - start[b]])."""
     bp, qp, num_q_heads, head_dim = q.shape
     k, v = gather_pages(cache, scale, page_table, spec,
                         dtype=q.dtype, layer=layer)  # [Bp, KV, kv_heads, hd]
+    if fresh_k is not None:
+        kv_len_g = k.shape[1]
+        pos = jnp.arange(kv_len_g, dtype=jnp.int32)[None, :]     # [1, KV]
+        fidx = jnp.clip(pos - start[:, None], 0, qp - 1)         # [Bp, KV]
+        is_fresh = pos >= start[:, None]                         # [Bp, KV]
+        fk = jnp.take_along_axis(
+            fresh_k.astype(q.dtype), fidx[..., None, None], axis=1)
+        fv = jnp.take_along_axis(
+            fresh_v.astype(q.dtype), fidx[..., None, None], axis=1)
+        k = jnp.where(is_fresh[..., None, None], fk, k)
+        v = jnp.where(is_fresh[..., None, None], fv, v)
     k = _gqa_expand(k, num_q_heads)
     v = _gqa_expand(v, num_q_heads)
     kv_len = k.shape[1]

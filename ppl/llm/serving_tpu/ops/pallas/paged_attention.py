@@ -269,12 +269,18 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
 
 
 def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
-                    has_alibi: bool,
+                    has_alibi: bool, deferred: bool,
                     layer_ref, pt_ref, start_ref, newlen_ref,  # prefetch
                     q_ref, cache_ref, scale_ref,
-                    slopes_ref,                       # inputs
+                    slopes_ref, fkv_ref, fs_ref,      # inputs
                     o_ref,                            # output
                     kv_buf, s_buf, sem):
+    """``deferred``: this step's own K/V is NOT in the cache yet — pages
+    at positions >= start stream from the dense fresh inputs instead
+    (``fkv_ref`` [Bp, KVH, Qp, 2*shd] packed rows in the same head-major
+    slab layout as a cache page, ``fs_ref`` [Bp, Qp, scale_lanes]).
+    ``start`` is page-aligned by construction (prefix-cache hits are
+    page-granular), so every page comes WHOLLY from one source."""
     b = pl.program_id(0)
     qb = pl.program_id(1)
     kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
@@ -295,15 +301,39 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     lbase = li * spec.num_slots   # this layer's slot-row offset
 
     def start_dma(slot, p_idx):
-        page = pt_ref[b, p_idx]
-        o = lbase + page * ps
-        pltpu.make_async_copy(
-            cache_ref.at[:, pl.ds(o, ps), :], kv_buf.at[slot],
-            sem.at[slot, 0]).start()
-        if quant:
+        if deferred:
+            fresh = p_idx * ps >= start
+
+            @pl.when(fresh)
+            def _():
+                fo = p_idx * ps - start
+                pltpu.make_async_copy(
+                    fkv_ref.at[b, :, pl.ds(fo, ps), :], kv_buf.at[slot],
+                    sem.at[slot, 0]).start()
+                if quant:
+                    pltpu.make_async_copy(
+                        fs_ref.at[b, pl.ds(fo, ps), :], s_buf.at[slot],
+                        sem.at[slot, 1]).start()
+
+            @pl.when(jnp.logical_not(fresh))
+            def _():
+                o = lbase + pt_ref[b, p_idx] * ps
+                pltpu.make_async_copy(
+                    cache_ref.at[:, pl.ds(o, ps), :], kv_buf.at[slot],
+                    sem.at[slot, 0]).start()
+                if quant:
+                    pltpu.make_async_copy(
+                        scale_ref.at[pl.ds(o, ps), :], s_buf.at[slot],
+                        sem.at[slot, 1]).start()
+        else:
+            o = lbase + pt_ref[b, p_idx] * ps
             pltpu.make_async_copy(
-                scale_ref.at[pl.ds(o, ps), :], s_buf.at[slot],
-                sem.at[slot, 1]).start()
+                cache_ref.at[:, pl.ds(o, ps), :], kv_buf.at[slot],
+                sem.at[slot, 0]).start()
+            if quant:
+                pltpu.make_async_copy(
+                    scale_ref.at[pl.ds(o, ps), :], s_buf.at[slot],
+                    sem.at[slot, 1]).start()
 
     def wait_dma(slot):
         pltpu.make_async_copy(
@@ -481,18 +511,35 @@ def paged_prefill_attention(
     spec: CacheSpec,
     *,
     layer: int = 0,
+    fresh_kv: Optional[jax.Array] = None,   # [Bp, KVH, Qp, 2*shd] packed
+    fresh_scale: Optional[jax.Array] = None,  # [Bp, Qp, scale_lanes]
     q_block: int = 128,
     interpret: bool = False,
     alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
 ) -> jax.Array:
     """Chunked-causal prefill attention over the paged cache; supports
-    start > 0 (prefix-cache-hit continuation). This step's K/V must
-    already be in the cache (per-layer append; deferral is decode-only)."""
+    start > 0 (prefix-cache-hit continuation).
+
+    Two append modes: with ``fresh_kv`` given (deferred append), this
+    step's K/V streams from the dense fresh input — same packed-row page
+    slabs as the cache, in the cache dtype (pre-quantized when int8) —
+    and the cache write batches into the fused end-of-step scatter.
+    Without it, this step's K/V must already be in the cache."""
     bp, qp, num_q_heads, hd = q.shape
     q_blk = min(q_block, qp)
     assert qp % q_blk == 0, (qp, q_blk)
     if scale is None or scale.ndim != 2:
         scale = _scale_placeholder(spec)
+    deferred = fresh_kv is not None
+    if deferred:
+        assert qp % spec.page_size == 0, (qp, spec.page_size)
+        assert fresh_kv.dtype == cache.dtype, (fresh_kv.dtype, cache.dtype)
+        if fresh_scale is None:
+            fresh_scale = jnp.zeros((bp, qp, 128), jnp.bfloat16)
+    else:
+        fresh_kv = jnp.zeros((1, spec.num_kv_heads, spec.page_size,
+                              spec.row_lanes), cache.dtype)
+        fresh_scale = jnp.zeros((1, spec.page_size, 128), jnp.bfloat16)
 
     kvh, ps = spec.num_kv_heads, spec.page_size
     g = num_q_heads // kvh
@@ -503,7 +550,7 @@ def paged_prefill_attention(
                          q_blk, axis=1) if has_alibi
               else jnp.zeros((kvh, g * q_blk), jnp.float32))
     kernel = functools.partial(_prefill_kernel, spec, num_q_heads, q_blk,
-                               has_alibi)
+                               has_alibi, deferred)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(bp, qp // q_blk),
@@ -514,6 +561,8 @@ def paged_prefill_attention(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slopes
+            pl.BlockSpec(memory_space=pltpu.ANY),   # fresh kv (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # fresh scales (HBM)
         ],
         out_specs=pl.BlockSpec((1, q_blk, num_q_heads, hd),
                                lambda b, qb, *_: (b, qb, 0, 0),
@@ -535,4 +584,4 @@ def paged_prefill_attention(
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32), page_table, start, new_len,
-      q, cache, scale, slopes)
+      q, cache, scale, slopes, fresh_kv, fresh_scale)

@@ -309,3 +309,62 @@ def test_multi_layer_kernel_indexing():
         outs.append(np.asarray(out))
     assert not np.allclose(outs[0], outs[1])
     assert not np.allclose(outs[1], outs[2])
+
+
+def test_prefill_deferred_fresh_inputs():
+    """Deferred-append prefill: fresh K/V streams from dense inputs and
+    must equal the appended-first computation exactly — including the
+    prefix-hit split (cached pages below start, fresh above)."""
+    for spec in (SPEC, QSPEC):
+        ps = spec.page_size
+        start_tok, new = 2 * ps, 24            # page-aligned prefix hit
+        total = start_tok + new
+        qp = 2 * ps                            # % page_size == 0
+        # cache with ONLY the prefix [0, start) present
+        cache, scale, pt = fill_cache_with_kv(
+            spec, [(list(range(4)), start_tok)])
+        rngk = jax.random.PRNGKey(21)
+        kp = jax.random.normal(rngk, (1, qp, spec.num_kv_heads,
+                                      spec.head_dim))
+        vp = jax.random.normal(jax.random.PRNGKey(22),
+                               (1, qp, spec.num_kv_heads, spec.head_dim))
+        q = jax.random.normal(jax.random.PRNGKey(23),
+                              (1, qp, 4, spec.head_dim))
+        starts = jnp.array([start_tok], jnp.int32)
+        new_lens = jnp.array([new], jnp.int32)
+
+        # reference computation: append first, then attend from cache
+        slots = kv_ops.token_slots(pt, start_tok + jnp.arange(new),
+                                   jnp.zeros(new, jnp.int32), ps)
+        c2, s2 = kv_ops.append_kv(cache, scale, kp[0, :new], vp[0, :new],
+                                  slots, spec)
+        ref = attn_ref.prefill_attention_ref(q, c2, s2, pt, starts,
+                                             new_lens, spec)
+
+        # deferred: fresh dense inputs, cache untouched
+        if spec.quantized:
+            qk, sk = kv_ops.quantize_kv(kp, spec.quant_group)
+            qv, sv = kv_ops.quantize_kv(vp, spec.quant_group)
+            rows = kv_ops.pack_kv_rows(qk, qv, spec)
+            fscale = kv_ops._pack_scale_rows(sk, sv, spec)
+            kp_ref = kv_ops.dequantize_kv(qk, sk, spec.quant_group,
+                                          jnp.float32)
+            vp_ref = kv_ops.dequantize_kv(qv, sv, spec.quant_group,
+                                          jnp.float32)
+        else:
+            rows = kv_ops.pack_kv_rows(kp.astype(jnp.float32),
+                                       vp.astype(jnp.float32), spec)
+            fscale, kp_ref, vp_ref = None, kp, vp
+        out_ref = attn_ref.prefill_attention_ref(
+            q, cache, scale, pt, starts, new_lens, spec,
+            fresh_k=kp_ref, fresh_v=vp_ref)
+        out_pk = pk.paged_prefill_attention(
+            q, cache, scale, pt, starts, new_lens, spec,
+            fresh_kv=rows.transpose(0, 2, 1, 3), fresh_scale=fscale,
+            q_block=16, interpret=True)
+        tol = dict(atol=3e-5, rtol=3e-5) if spec is SPEC else dict(
+            atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(out_ref)[0, :new],
+                                   np.asarray(ref)[0, :new], **tol)
+        np.testing.assert_allclose(np.asarray(out_pk)[0, :new],
+                                   np.asarray(ref)[0, :new], **tol)
