@@ -10,10 +10,9 @@ performs the TP slicing (XLA shards on transfer; no per-rank files).
 from __future__ import annotations
 
 import glob
-import json
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ from the reference's separate kernel launches, SURVEY.md section 3.4).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from __future__ import annotations
 import dataclasses
 import sys
 import time
-from typing import Optional
 
 
 @dataclasses.dataclass
