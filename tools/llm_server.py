@@ -30,6 +30,10 @@ def main():
                              "multi-host serving")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    # data parallelism = replica engines behind this frontend (each
+    # replica takes tensor-parallel-size devices); NOT a mesh axis —
+    # replicas have divergent KV states (parallel/shardings.py)
+    parser.add_argument("--data-parallel-size", type=int, default=1)
     # Working implementation of the reference's dead --monitor-port flag
     # (llm_server.cc:89-90 parses it; nothing serves it there)
     parser.add_argument("--monitor-port", type=int, default=0,
@@ -54,6 +58,11 @@ def main():
     mesh = None
     plan_channel = None
     multi_proc = args.coordinator_address is not None
+    dp = max(1, args.data_parallel_size)
+    if dp > 1 and multi_proc:
+        raise SystemExit(
+            "--data-parallel-size is incompatible with the multi-host "
+            "controller mode; run one server process per dp replica set")
     if multi_proc or resource_cfg.tensor_parallel_size > 1:
         from ppl.llm.serving_tpu.parallel import multihost, shardings
         if multi_proc:
@@ -61,25 +70,48 @@ def main():
                                  args.num_processes, args.process_id)
         mesh = shardings.make_mesh(resource_cfg.tensor_parallel_size)
 
-    engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg,
-                                   mesh=mesh)
-
-    if multi_proc:
-        from ppl.llm.serving_tpu.parallel import multihost
-        if not multihost.is_controller():
-            multihost.worker_serve(engine)
-            return
-        plan_channel = multihost.controller_plan_channel
-
     tokenizer = create_tokenizer(args.model_type, resource_cfg.tokenizer_path,
                                  args.tokenizer_type,
                                  args.tokenizer_config_path or None)
     conn = GRPCConnection()
-    generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer, conn,
-                             kv_max, plan_channel=plan_channel)
+
+    if dp > 1:
+        # replica i owns devices [i*tp, (i+1)*tp); each loads its own
+        # weight copy and runs an independent scheduler
+        import jax
+        from ppl.llm.serving_tpu.parallel import shardings
+        from ppl.llm.serving_tpu.serving.dp_router import DataParallelRouter
+        tp = resource_cfg.tensor_parallel_size
+        devices = jax.devices()
+        if len(devices) < dp * tp:
+            raise SystemExit(f"dp={dp} x tp={tp} needs {dp * tp} devices, "
+                             f"have {len(devices)}")
+        gens = []
+        for i in range(dp):
+            rep_mesh = (shardings.make_mesh(
+                tp, devices[i * tp:(i + 1) * tp]) if tp > 1 or dp > 1
+                else None)
+            eng, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg,
+                                        mesh=rep_mesh)
+            gens.append(LLMGenerator(model_cfg, gen_cfg, eng, tokenizer,
+                                     conn, kv_max))
+        generator = DataParallelRouter(gens)
+        profiler = gens[0].profiler
+    else:
+        engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg,
+                                       mesh=mesh)
+        if multi_proc:
+            from ppl.llm.serving_tpu.parallel import multihost
+            if not multihost.is_controller():
+                multihost.worker_serve(engine)
+                return
+            plan_channel = multihost.controller_plan_channel
+        generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer,
+                                 conn, kv_max, plan_channel=plan_channel)
+        profiler = generator.profiler
     if args.monitor_port:
         from ppl.llm.serving_tpu.serving.metrics import MetricsServer
-        MetricsServer(generator.profiler, args.monitor_port).start()
+        MetricsServer(profiler, args.monitor_port).start()
     server = GRPCServer(conn, generator.process, generator.clear_task)
     server.init(args.host, args.port)
     print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
