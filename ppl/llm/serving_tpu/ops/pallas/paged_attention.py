@@ -280,7 +280,12 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     (``fkv_ref`` [Bp, KVH, Qp, 2*shd] packed rows in the same head-major
     slab layout as a cache page, ``fs_ref`` [Bp, Qp, scale_lanes]).
     ``start`` is page-aligned by construction (prefix-cache hits are
-    page-granular), so every page comes WHOLLY from one source."""
+    page-granular), so every page comes WHOLLY from one source. The one
+    mid-page start the generator produces — the full-hit replay row
+    (start = hit-1, new_len = 1, generator.py) — never reaches the
+    fresh branch: kv_hi = start+1 bounds the page walk at the straddling
+    page, whose p_idx*ps < start, and the cache already holds the
+    replayed position (that's what a full hit means)."""
     b = pl.program_id(0)
     qb = pl.program_id(1)
     kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
@@ -306,7 +311,11 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
 
             @pl.when(fresh)
             def _():
-                fo = p_idx * ps - start
+                # start is page-aligned by construction; Mosaic cannot
+                # prove that for the runtime scalar, and rejects the
+                # sublane-tiled slice without the hint (seen on v5e:
+                # "tile index in dimension 2 is divisible by the tiling")
+                fo = pl.multiple_of(p_idx * ps - start, ps)
                 pltpu.make_async_copy(
                     fkv_ref.at[b, :, pl.ds(fo, ps), :], kv_buf.at[slot],
                     sem.at[slot, 0]).start()

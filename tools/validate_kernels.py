@@ -84,6 +84,33 @@ def main():
             qp, cache, scale, pt[:2], jnp.zeros(2, jnp.int32),
             jnp.asarray([100, 60], jnp.int32), spec, layer=1,
             interpret=interp))
+        # deferred append: this step's K/V streams from dense fresh
+        # inputs (the production prefill path). Covers the dynamic
+        # page-offset slice Mosaic rejects without the multiple_of hint,
+        # with a page-aligned prefix-hit start AND a full-hit replay
+        # start (mid-page; fresh branch unreachable but still compiled).
+        kf = jnp.asarray(rng.randn(2, 128, 4, hd), jnp.bfloat16)
+        vf = jnp.asarray(rng.randn(2, 128, 4, hd), jnp.bfloat16)
+        if quant:
+            qk, sk = kv_ops.quantize_kv(kf, spec.quant_group)
+            qv, sv = kv_ops.quantize_kv(vf, spec.quant_group)
+            fkv = kv_ops.pack_kv_rows(qk, qv, spec).transpose(0, 2, 1, 3)
+            fsc = kv_ops._pack_scale_rows(sk, sv, spec)
+        else:
+            fkv = kv_ops.pack_kv_rows(
+                kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
+                spec).transpose(0, 2, 1, 3)
+            fsc = None
+        for sname, starts in (("hit", [128, 0]), ("fullhit", [255, 0])):
+            ok &= check(
+                f"prefill/{tag}/deferred/{sname}",
+                lambda starts=starts: pk.paged_prefill_attention(
+                    qp, cache, scale, pt[:2],
+                    jnp.asarray(starts, jnp.int32),
+                    jnp.asarray([1 if starts[0] % 128 else 100, 60],
+                                jnp.int32),
+                    spec, layer=1, fresh_kv=fkv, fresh_scale=fsc,
+                    interpret=interp))
 
         # the fused all-layer scatter + per-layer append (XLA side)
         ks = jnp.asarray(rng.randn(2, 8, 4, hd), jnp.bfloat16)
