@@ -50,12 +50,13 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     # BENCH_CONFIG=bf16 (default) | i8i8 (int8 weights + int8 KV)
     #   | i8i8_w (int8 weights, bf16 KV) | kv8 (bf16 weights, int8 KV)
+    #   | w4 (groupwise-int4 weights + int8 KV) | w4_7b (7B shapes)
     #   | i8i8_7b (LLaMA-2-7B shapes, int8 weights + int8 KV — the
     #     BASELINE.md north-star config; ~7.5 GB int8 weights fit a
     #     single v5e chip's 16 GB HBM)
     variant = os.environ.get("BENCH_CONFIG", "bf16")
     model_name = "tinyllama1.1b"
-    if on_tpu and variant == "i8i8_7b":
+    if on_tpu and variant in ("i8i8_7b", "w4_7b"):
         model_name = "llama2-7b"
         model_cfg = ModelConfig(
             hidden_dim=4096, intermediate_dim=11008, num_layers=32,
@@ -63,7 +64,7 @@ def main():
             cache_mode=1, page_size=128, dtype="bfloat16")
         batch, prompt_len, gen_len = 32, 128, 128
         kv_tokens = 16 * 1024   # 32 kv heads -> 16k tokens ~ 5.2 GB int8
-        variant = "i8i8"
+        variant = "i8i8" if variant == "i8i8_7b" else "w4"
     elif on_tpu:
         model_cfg = ModelConfig(
             hidden_dim=2048, intermediate_dim=5632, num_layers=22,
@@ -78,7 +79,7 @@ def main():
             cache_mode=1, page_size=16, dtype="float32")
         batch, prompt_len, gen_len = 8, 16, 16
         kv_tokens = 4096
-    if variant in ("i8i8", "kv8"):
+    if variant in ("i8i8", "kv8", "w4"):
         model_cfg.cache_quant_bit = 8
         model_cfg.cache_quant_group = 8
 
@@ -89,6 +90,7 @@ def main():
         batch_buckets=(batch, 4 * batch),
         multi_step=int(os.environ.get("BENCH_MULTI_STEP", "16")),
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
+                      else "online_w4a8" if variant == "w4"
                       else "none"),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
         attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),

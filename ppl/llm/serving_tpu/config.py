@@ -256,7 +256,7 @@ class ResourceConfig:
     max_running_batch: int = 1024
     enable_penalty: bool = False
 
-    quant_method: str = "none"  # "none" | "online_i8i8"
+    quant_method: str = "none"  # "none" | "online_i8i8" | "online_w4a8" (int4 weights, g=128)
     # i8i8 matmul implementation: "xla" composes quant + int8 dot_general
     # in XLA; "pallas" uses the fused weight-streaming kernel
     # (ops/pallas/quant_matmul.py). "auto" follows the backend like
@@ -298,8 +298,16 @@ class ResourceConfig:
             self.tensor_parallel_size & (self.tensor_parallel_size - 1)
         ):
             raise ConfigError("tensor_parallel_size must be a power of 2")
-        if self.quant_method not in ("none", "online_i8i8"):
+        if self.quant_method not in ("none", "online_i8i8",
+                                     "online_w4a8"):
             raise ConfigError(f"unknown quant_method {self.quant_method}")
+        if (self.quant_method == "online_w4a8"
+                and self.tensor_parallel_size > 1):
+            # the int4 nibble pairing strides D/2 across the FULL
+            # contraction axis; row-parallel tp shards would unpack to
+            # non-contiguous row sets. Repack-per-shard is future work.
+            raise ConfigError("online_w4a8 currently requires "
+                              "tensor_parallel_size == 1")
         if self.quant_matmul_impl not in ("auto", "xla", "pallas",
                                           "pallas_interpret"):
             raise ConfigError(

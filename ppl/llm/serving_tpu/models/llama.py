@@ -141,23 +141,37 @@ def apply_rope(x: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _make_matmul(use_i8i8: bool, quant_impl: str = "xla"):
+def _make_matmul(quant_method, quant_impl: str = "xla"):
     """Build the transformer-matmul closure: float einsum/dot, or dynamic
-    per-token i8i8 via XLA composition or the fused Pallas kernel
-    (ops/pallas/quant_matmul.py — streams int8 weights once, quantizes
-    the activation block in VMEM, int8 MXU contraction, scale epilogue)."""
+    per-token i8i8 / groupwise w4a8 via XLA composition or the fused
+    Pallas kernels (ops/pallas/quant_matmul.py — stream quantized
+    weights once, quantize the activation block in VMEM, int8 MXU
+    contraction, scale epilogue). Accepts the legacy bool for i8i8."""
     from ..ops import quant as quant_ops
-    if use_i8i8 and quant_impl in ("pallas", "pallas_interpret"):
+    if quant_method is True:
+        quant_method = "online_i8i8"
+    use_i8i8 = quant_method == "online_i8i8"
+    use_w4 = quant_method == "online_w4a8"
+    interp = quant_impl == "pallas_interpret"
+    if quant_impl in ("pallas", "pallas_interpret"):
         from ..ops.pallas import quant_matmul as pallas_quant
-        interp = quant_impl == "pallas_interpret"
-
-        def matmul(h, p, name):
-            return pallas_quant.i8i8_matmul_pallas(
-                h, p[name + "_q"], p[name + "_s"], interpret=interp)
-        return matmul
+        if use_i8i8:
+            def matmul(h, p, name):
+                return pallas_quant.i8i8_matmul_pallas(
+                    h, p[name + "_q"], p[name + "_s"], interpret=interp)
+            return matmul
+        if use_w4:
+            def matmul(h, p, name):
+                return pallas_quant.w4a8_matmul_pallas(
+                    h, p[name + "_q"], p[name + "_s"], interpret=interp)
+            return matmul
     if use_i8i8:
         def matmul(h, p, name):
             return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
+        return matmul
+    if use_w4:
+        def matmul(h, p, name):
+            return quant_ops.w4a8_matmul(h, p[name + "_q"], p[name + "_s"])
         return matmul
 
     def matmul(h, p, name):
@@ -169,7 +183,7 @@ def _make_matmul(use_i8i8: bool, quant_impl: str = "xla"):
     return matmul
 
 
-def _make_gate_up_act(matmul, use_i8i8: bool):
+def _make_gate_up_act(matmul, quantized: bool):
     """silu(gate) * up from the fused [D, 2, I] weight.
 
     Float path: the einsum is written output-layout ``cti`` ([2, T, I])
@@ -179,10 +193,10 @@ def _make_gate_up_act(matmul, use_i8i8: bool):
     the steps axis leading, ``gu[0]``/``gu[1]`` are layout-free slices,
     and axis 2 (the TP-sharded I axis) is untouched so sharding rules
     are identical."""
-    if use_i8i8:
+    if quantized:
         def gate_up_act(h, p):
-            # fused int8 weight is stored C-leading [2, D, I]; the matmul
-            # returns C-leading [2, T, I] (see ops/quant.i8i8_matmul)
+            # fused quantized weight is stored C-leading [2, D, I]; the
+            # matmul returns C-leading [2, T, I] (see ops/quant)
             gu = matmul(h, p, "w_gate_up")          # [2, T, I]
             return jax.nn.silu(gu[0]) * gu[1]
         return gate_up_act
@@ -203,12 +217,16 @@ class StepOutput(NamedTuple):
     logits: Optional[jax.Array] = None  # [B, V]; tests only
 
 
-def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Convert bf16/f32 layer weights to the online-i8i8 format: each big
-    matmul weight becomes (<name>_q int8, <name>_s f32 per-out-channel).
+def quantize_model_params(params: Dict[str, Any],
+                          method: str = "online_i8i8") -> Dict[str, Any]:
+    """Convert bf16/f32 layer weights to a quantized format: each big
+    matmul weight becomes (<name>_q, <name>_s) — int8 + f32
+    per-out-channel scales for ``online_i8i8`` (the reference's
+    QUANT_METHOD_ONLINE_I8I8), or packed int4 + f32 group-128 scales
+    for ``online_w4a8`` (TPU extension; RTN groupwise, AWQ-style).
     Embedding / lm_head / norms stay in the float dtype (matching the
-    reference, which quantizes the transformer matmuls via the engine's
-    QUANT_METHOD_ONLINE_I8I8 and leaves embeddings alone)."""
+    reference, which quantizes the transformer matmuls via the engine
+    and leaves embeddings alone)."""
     from ..ops import quant as quant_ops
 
     import numpy as np
@@ -218,6 +236,17 @@ def quantize_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
         nl = {k: v for k, v in lp.items()
               if k not in ("wqkv", "wo", "w_gate_up", "w_down")}
         for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+            if method == "online_w4a8":
+                q, s = quant_ops.quantize_weight_int4(lp[name])
+                if q.ndim == 3:
+                    # fused gate|up packed [D/2, 2, I] + scales [G, 2, I]
+                    # go C-LEADING for the same Mosaic block-rule reason
+                    # as the int8 path below
+                    q = q.transpose(1, 0, 2)
+                    s = s.transpose(1, 0, 2)
+                nl[name + "_q"] = jnp.asarray(np.asarray(q))
+                nl[name + "_s"] = jnp.asarray(np.asarray(s))
+                continue
             q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
             if q.ndim == 3:
                 # fused gate|up [D, 2, I] is stored C-LEADING [2, D, I]:
@@ -262,14 +291,14 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps, theta = cfg.norm_eps, cfg.rope_theta
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    use_i8i8 = quant_method == "online_i8i8"
+    quantized_w = quant_method in ("online_i8i8", "online_w4a8")
     use_pallas = attn_impl in ("pallas", "pallas_interpret")
     interpret = attn_impl == "pallas_interpret"
-    matmul = _make_matmul(use_i8i8, quant_impl)
+    matmul = _make_matmul(quant_method, quant_impl)
     use_alibi = cfg.position_encoding == "alibi"
     slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
     attn_bias = cfg.attn_bias
-    gate_up_act = _make_gate_up_act(matmul, use_i8i8)
+    gate_up_act = _make_gate_up_act(matmul, quantized_w)
 
     def step(params, kv_cache, kv_scale, count_map,
              inp: StepInput, rng: jax.Array) -> StepOutput:
@@ -458,14 +487,14 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
     n_q, n_kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps, theta = cfg.norm_eps, cfg.rope_theta
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    use_i8i8 = quant_method == "online_i8i8"
+    quantized_w = quant_method in ("online_i8i8", "online_w4a8")
     use_pallas = attn_impl in ("pallas", "pallas_interpret")
     interpret = attn_impl == "pallas_interpret"
-    matmul = _make_matmul(use_i8i8, quant_impl)
+    matmul = _make_matmul(quant_method, quant_impl)
     use_alibi = cfg.position_encoding == "alibi"
     slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
     attn_bias = cfg.attn_bias
-    gate_up_act = _make_gate_up_act(matmul, use_i8i8)
+    gate_up_act = _make_gate_up_act(matmul, quantized_w)
 
     def nll(params, kv_cache, kv_scale, tokens, n_valid, page_table):
         """tokens i32[L] (padded), n_valid i32[], page_table i32[1, P] ->

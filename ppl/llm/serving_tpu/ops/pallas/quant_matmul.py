@@ -76,6 +76,145 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
     out_ref[0] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0]
 
 
+def _w4_kernel(group, gc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
+    """w4a8: groupwise-int4 weights x per-token-int8 activations.
+
+    The activation tile is quantized ONCE per t-tile (same persistence
+    trick as ``_kernel``) but stored group-major ``[G, bt, group]`` so
+    the per-group contraction is a batched int8 dot with no per-step
+    transpose. Weights unpack with two arithmetic-shift ops per output
+    element (the nibble pairing in ``ops.quant.quantize_weight_int4``
+    makes unpack a concat, never an element interleave). Groups are
+    contracted in chunks of ``gc`` batched MXU dots, accumulating the
+    scale-applied f32 epilogue — bounding the int32 intermediate to
+    ``gc x bt x bn`` regardless of how many groups D has."""
+    bt = x_ref.shape[0]
+    d2, bn = w_ref.shape[1], w_ref.shape[2]
+    d = 2 * d2
+    g = d // group
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)   # [bt, 1]
+        scale = absmax * (1.0 / 127.0)
+        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-10), 0.0)
+        xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+        xq_ref[:] = xq.reshape(bt, g, group).transpose(1, 0, 2)
+        xs_ref[:] = scale
+
+    b32 = w_ref[0].astype(jnp.int32)
+    lo = (b32 << 28) >> 28
+    hi = (b32 << 24) >> 28
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)      # [d, bn]
+    wg = w.reshape(g, group, bn)
+    sg = s_ref[0]                                               # [g, bn]
+
+    def body(i, acc):
+        xi = xq_ref[pl.ds(i * gc, gc)]                          # [gc,bt,gr]
+        wi = jax.lax.dynamic_slice_in_dim(wg, i * gc, gc, 0)
+        si = jax.lax.dynamic_slice_in_dim(sg, i * gc, gc, 0)
+        part = jax.lax.dot_general(
+            xi, wi,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                                       # [gc,bt,bn]
+        return acc + (part.astype(jnp.float32)
+                      * si[:, None, :]).sum(axis=0)
+
+    acc = jax.lax.fori_loop(
+        0, g // gc, body, jnp.zeros((bt, bn), jnp.float32),
+        unroll=(g // gc) <= 8)
+    out_ref[0] = acc * xs_ref[:]
+
+
+def _pick_gc(g: int, bt: int, bn: int,
+             budget_bytes: int = 4 << 20) -> int:
+    """Group-chunk size: the largest divisor of ``g`` (capped at 8)
+    whose int32 dot intermediate ``gc x bt x bn`` stays in budget."""
+    gc = 1
+    for cand in range(2, 9):
+        if g % cand == 0 and cand * bt * bn * 4 <= budget_bytes:
+            gc = cand
+    return gc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_n",
+                                             "block_t"))
+def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
+                       *, interpret: bool = False,
+                       block_n: int = 0, block_t: int = 0) -> jax.Array:
+    """Drop-in for ``ops.quant.w4a8_matmul`` (same two weight contracts):
+
+    - plain: x [T, D] x packed int4 [D//2, ...out], scales [G, ...out]
+      -> f32 [T, ...out]
+    - fused 3-axis: packed [C, D//2, N] (C leading), scales [C, G, N]
+      -> f32 [C, T, N]
+
+    Versus ``i8i8_matmul_pallas`` this halves the streamed weight bytes
+    again — decode throughput is weight-bandwidth-bound, so int4 moves
+    the decode roofline itself. The cost is a VPU unpack (2 ops/element)
+    overlapped with the halved DMA, and groupwise scale granularity
+    (RTN g=128) instead of per-channel.
+    """
+    t, d = x.shape
+    g = w_scale.shape[1] if w_p.ndim == 3 else w_scale.shape[0]
+    group = d // g
+    if w_p.ndim == 3:
+        fused = True
+        c, d2, n = w_p.shape
+        assert d2 * 2 == d, (w_p.shape, x.shape)
+        w3 = w_p
+        s3 = w_scale
+        out_shape = None
+    else:
+        fused = False
+        out_shape = w_p.shape[1:]
+        c, n = 1, 1
+        for s in out_shape:
+            n *= s
+        w3 = w_p.reshape(1, d // 2, n)
+        s3 = w_scale.reshape(1, g, n)
+    s3 = s3.astype(jnp.float32)
+    bn = block_n or _pick_block_n(d // 2, n)
+    bt = block_t or _pick_block_t(d, t)
+    gc = _pick_gc(g, bt, bn)
+    grid = (pl.cdiv(t, bt), c, pl.cdiv(n, bn))
+
+    out = pl.pallas_call(
+        functools.partial(_w4_kernel, group, gc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda i, ci, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d // 2, bn), lambda i, ci, j: (ci, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, bn), lambda i, ci, j: (ci, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, bn), lambda i, ci, j: (ci, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, t, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g, bt, group), jnp.int8),
+            pltpu.VMEM((bt, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * d * c * n,
+            bytes_accessed=d * c * n // 2 + t * d * x.dtype.itemsize
+            + t * c * n * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, w3, s3)
+    if fused:
+        return out
+    return out[0].reshape((t,) + out_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n",
                                              "block_t"))
 def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,

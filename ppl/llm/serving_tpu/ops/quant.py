@@ -51,6 +51,104 @@ def quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_weight_int4(w: jax.Array, group: int = 128
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Groupwise symmetric int4 weight quantization (RTN, AWQ-style
+    group size along the contraction axis).
+
+    Extends the reference's online weight-quant design
+    (``QUANT_METHOD_ONLINE_I8I8``, ``resource_manager.cc:43-67``) to
+    4-bit: per-(group, out-channel) absmax scales over ``group``
+    consecutive rows of the contraction axis (axis 0), values clipped
+    to the symmetric range [-7, 7].
+
+    Packing is TPU-sublane-friendly: byte ``i`` of the packed array
+    holds ``w[i]`` in the low nibble and ``w[i + D//2]`` in the high
+    nibble, so the kernel unpack is two full-block shifts and one
+    concat along axis 0 — NO element interleave (an adjacent-pair
+    packing would need a sublane shuffle, which Mosaic lowers poorly).
+
+    w: [D, ...out] float -> (packed int8 [D//2, ...out],
+                             scales f32 [D//group, ...out]).
+
+    ``group`` halves automatically until it divides D//2 (tiny test
+    models have D < 256); consumers infer the group size from the
+    packed/scale shape ratio, so no side-channel is needed.
+    """
+    d = w.shape[0]
+    while group > 1 and d % (2 * group):
+        group //= 2
+    assert d % (2 * group) == 0, (w.shape, group)
+    w32 = w.astype(jnp.float32)
+    grouped = w32.reshape((d // group, group) + w.shape[1:])
+    absmax = jnp.max(jnp.abs(grouped), axis=1)           # [G, ...out]
+    scale = absmax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-10), 0.0)
+    q = jnp.clip(jnp.round(grouped * jnp.expand_dims(inv, 1)), -7, 7)
+    q = q.astype(jnp.int32).reshape(w.shape)             # [D, ...out]
+    lo, hi = q[: d // 2], q[d // 2:]
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of the nibble packing above: int8 [D//2, ...] ->
+    int8 [D, ...] in natural row order (lo rows then hi rows).
+
+    Sign extension rides the arithmetic shifts: ``(b << 28) >> 28``
+    for the low nibble, ``(b << 24) >> 28`` for the high — two VPU ops
+    per output element, the cheapest unpack Mosaic can lower."""
+    b = packed.astype(jnp.int32)
+    lo = (b << 28) >> 28
+    hi = (b << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def w4a8_matmul(x: jax.Array, w_p: jax.Array, w_scale: jax.Array
+                ) -> jax.Array:
+    """Dynamic per-token int8 activation x groupwise-int4 weight matmul
+    (XLA composition; the Pallas kernel in ops/pallas/quant_matmul.py is
+    the production path on TPU).
+
+    Same two weight contracts as :func:`i8i8_matmul`:
+    - plain: x [T, D] x packed [D//2, ...out], scales [G, ...out]
+      -> f32 [T, ...out]
+    - fused 3-axis: packed [C, D//2, N] (C leading), scales [C, G, N]
+      -> f32 [C, T, N]
+
+    The contraction is split per scale group: int8 x int8 -> int32
+    partials per group on the MXU, then a (act_scale x group_scale)
+    rescale and a sum over groups. Group-128 int4 [-7,7] x int8
+    [-127,127] partial sums max out at 128*7*127 < 2^17 — no int32
+    overflow risk.
+    """
+    x_q, x_scale = quantize_activation(x)
+    t, d = x.shape
+    g = w_scale.shape[1] if w_p.ndim == 3 else w_scale.shape[0]
+    group = d // g
+    xg = x_q.reshape(t, g, group)
+    if w_p.ndim == 3:
+        c, d2, n = w_p.shape
+        assert d2 * 2 == d, (w_p.shape, x.shape)
+        w = unpack_int4(w_p.reshape(c * d2, n)).reshape(2, c, d2, n)
+        w = jnp.concatenate([w[0], w[1]], axis=1)        # [C, D, N]
+        acc = jnp.einsum("tgd,cgdn->ctgn", xg,
+                         w.reshape(c, g, group, n),
+                         preferred_element_type=jnp.int32)
+        scaled = acc.astype(jnp.float32) * w_scale[:, None, :, :]
+        return scaled.sum(axis=2) * x_scale[None, :, None]
+    out_shape = w_p.shape[1:]
+    n = 1
+    for s in out_shape:
+        n *= s
+    w = unpack_int4(w_p.reshape(w_p.shape[0], n))        # [D, N]
+    acc = jnp.einsum("tgd,gdn->tgn", xg, w.reshape(g, group, n),
+                     preferred_element_type=jnp.int32)
+    scaled = acc.astype(jnp.float32) * w_scale.reshape(g, n)
+    out = scaled.sum(axis=1) * x_scale[:, None]
+    return out.reshape((t,) + out_shape)
+
+
 def i8i8_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array
                 ) -> jax.Array:
     """Fused dynamic-quant int8 matmul.

@@ -29,6 +29,8 @@ PLAN = [
     ("i8i8", {"BENCH_CONFIG": "i8i8"}),
     ("bf16", {"BENCH_CONFIG": "bf16"}),
     ("i8i8_7b", {"BENCH_CONFIG": "i8i8_7b"}),
+    ("w4", {"BENCH_CONFIG": "w4"}),
+    ("w4_7b", {"BENCH_CONFIG": "w4_7b"}),
     ("i8i8_ms32", {"BENCH_CONFIG": "i8i8", "BENCH_MULTI_STEP": "32"}),
     ("i8i8_spec2", {"BENCH_CONFIG": "i8i8", "BENCH_SPEC_BLOCKS": "2"}),
     ("i8i8_sb4", {"BENCH_CONFIG": "i8i8", "BENCH_SEQ_BLOCK": "4"}),

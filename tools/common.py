@@ -36,11 +36,14 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quant-method", default="none",
-                   choices=["none", "online_i8i8"])
+                   choices=["none", "online_i8i8", "online_w4a8"],
+                   help="online_i8i8: reference-parity int8 w+a; "
+                        "online_w4a8: groupwise int4 weights (g=128) x "
+                        "int8 acts, halves decode weight bandwidth")
     p.add_argument("--quant-matmul-impl", default="auto",
                    choices=["auto", "xla", "pallas", "pallas_interpret"],
-                   help="i8i8 matmul path: XLA composition or the fused "
-                        "Pallas weight-streaming kernel")
+                   help="quantized matmul path: XLA composition or the "
+                        "fused Pallas weight-streaming kernel")
     p.add_argument("--cache-quant-bit", type=int, default=None,
                    help="override KV quant (0 or 8)")
     p.add_argument("--page-size", type=int, default=128)

@@ -30,7 +30,8 @@ import numpy as np
 from ppl.llm.serving_tpu.ops import kv_cache as kv_ops
 from ppl.llm.serving_tpu.ops.kv_cache import CacheSpec
 from ppl.llm.serving_tpu.ops.pallas import paged_attention as pk
-from ppl.llm.serving_tpu.ops.pallas.quant_matmul import i8i8_matmul_pallas
+from ppl.llm.serving_tpu.ops.pallas.quant_matmul import (
+    i8i8_matmul_pallas, w4a8_matmul_pallas)
 
 
 def check(name, fn):
@@ -131,6 +132,23 @@ def main():
     xp = jnp.asarray(rng.randn(4096, 2048), jnp.bfloat16)
     ok &= check("i8i8/prefill-tile", lambda: i8i8_matmul_pallas(
         xp, w2, s2, interpret=interp))
+
+    w4 = jnp.asarray(rng.randint(-128, 127, (1024, 512)), jnp.int8)
+    s4 = jnp.ones((16, 512), jnp.float32)       # group=128
+    ok &= check("w4a8/2d", lambda: w4a8_matmul_pallas(
+        x, w4, s4, interpret=interp))
+    w4f = jnp.asarray(rng.randint(-128, 127, (2, 1024, 512)), jnp.int8)
+    s4f = jnp.ones((2, 16, 512), jnp.float32)
+    ok &= check("w4a8/fused-c-leading", lambda: w4a8_matmul_pallas(
+        x, w4f, s4f, interpret=interp))
+    ok &= check("w4a8/prefill-tile", lambda: w4a8_matmul_pallas(
+        xp, w4, s4, interpret=interp))
+    # down-proj shape: g=44 is not a multiple of the group chunk
+    xd = jnp.asarray(rng.randn(64, 5632), jnp.bfloat16)
+    w4d = jnp.asarray(rng.randint(-128, 127, (2816, 512)), jnp.int8)
+    s4d = jnp.ones((44, 512), jnp.float32)
+    ok &= check("w4a8/down-proj-g44", lambda: w4a8_matmul_pallas(
+        xd, w4d, s4d, interpret=interp))
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
