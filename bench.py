@@ -92,6 +92,8 @@ def main():
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
                       else "online_w4a8" if variant == "w4"
                       else "none"),
+        quantize_lm_head=bool(int(
+            os.environ.get("BENCH_QUANT_LM_HEAD", "0"))),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
         attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),
     )

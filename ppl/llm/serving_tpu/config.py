@@ -257,6 +257,10 @@ class ResourceConfig:
     enable_penalty: bool = False
 
     quant_method: str = "none"  # "none" | "online_i8i8" | "online_w4a8" (int4 weights, g=128)
+    # Also quantize the lm_head (per-out-channel int8 / group int4).
+    # Off by default: the reference quantizes only transformer matmuls;
+    # at b64 decode the bf16 lm_head is ~24% of w4-config weight bytes.
+    quantize_lm_head: bool = False
     # i8i8 matmul implementation: "xla" composes quant + int8 dot_general
     # in XLA; "pallas" uses the fused weight-streaming kernel
     # (ops/pallas/quant_matmul.py). "auto" follows the backend like

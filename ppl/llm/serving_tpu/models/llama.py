@@ -218,7 +218,8 @@ class StepOutput(NamedTuple):
 
 
 def quantize_model_params(params: Dict[str, Any],
-                          method: str = "online_i8i8") -> Dict[str, Any]:
+                          method: str = "online_i8i8",
+                          quantize_lm_head: bool = False) -> Dict[str, Any]:
     """Convert bf16/f32 layer weights to a quantized format: each big
     matmul weight becomes (<name>_q, <name>_s) — int8 + f32
     per-out-channel scales for ``online_i8i8`` (the reference's
@@ -264,6 +265,18 @@ def quantize_model_params(params: Dict[str, Any],
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers
+    if quantize_lm_head:
+        # optional beyond-reference extension: at b64 decode the bf16
+        # lm_head streams 131 MB/step (24% of all weight bytes in the
+        # w4 config); the step fn dispatches on the _q key's presence
+        if method == "online_w4a8":
+            q, s = quant_ops.quantize_weight_int4(params["lm_head"])
+        else:
+            q, s = quant_ops.quantize_weight(params["lm_head"],
+                                             contract_axis=0)
+        out["lm_head_q"] = jnp.asarray(np.asarray(q))
+        out["lm_head_s"] = jnp.asarray(np.asarray(s))
+        del out["lm_head"]
     return out
 
 
@@ -451,8 +464,11 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             + jnp.maximum(inp.prefill_len - 1, 0),
         ])                                                          # i32[B]
         hidden = x[last_idx]                                        # [B, D]
-        logits = jnp.dot(hidden, params["lm_head"],
-                         preferred_element_type=jnp.float32)        # [B, V]
+        if "lm_head_q" in params:
+            logits = matmul(hidden, params, "lm_head")              # [B, V]
+        else:
+            logits = jnp.dot(hidden, params["lm_head"],
+                             preferred_element_type=jnp.float32)    # [B, V]
 
         if enable_penalty:
             # padding rows carry the trash batch slot (host-side fill), so
@@ -541,8 +557,11 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
             down = matmul(act.astype(compute_dtype), p, "w_down")
             x = x + down.astype(compute_dtype)
         x = rms_norm(x, params["final_norm"], eps)
-        logits = jnp.dot(x, params["lm_head"],
-                         preferred_element_type=jnp.float32)     # [L, V]
+        if "lm_head_q" in params:
+            logits = matmul(x, params, "lm_head")                # [L, V]
+        else:
+            logits = jnp.dot(x, params["lm_head"],
+                             preferred_element_type=jnp.float32)  # [L, V]
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         targets = tokens[1:]
         nll_all = -jnp.take_along_axis(

@@ -94,12 +94,22 @@ def param_partition_specs(cfg: ModelConfig,
         layer_keys = ("attn_norm", "ffn_norm", "wqkv", "wo",
                       "w_gate_up", "w_down")
     layer_spec = {k: _LAYER_SPECS[k] for k in layer_keys}
-    return {
+    top = {
         "embedding": P("tp", None),
         "layers": [dict(layer_spec) for _ in range(n_layers)],
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
+        # quantized lm_head (column parallel like the float one; the
+        # per-out-channel scale follows the vocab split)
+        "lm_head_q": P(None, "tp"),
+        "lm_head_s": P("tp"),
     }
+    if params is not None:
+        top = {k: v for k, v in top.items() if k in params}
+    else:
+        top.pop("lm_head_q")
+        top.pop("lm_head_s")
+    return top
 
 
 def cache_partition_spec() -> P:

@@ -35,7 +35,8 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
                                 resource_cfg.model_dir, seed=rng_seed)
     if resource_cfg.quant_method in ("online_i8i8", "online_w4a8"):
         from .models.llama import quantize_model_params
-        params = quantize_model_params(params, resource_cfg.quant_method)
+        params = quantize_model_params(params, resource_cfg.quant_method,
+                                       resource_cfg.quantize_lm_head)
     # force weights onto device before measuring free memory
     params = jax.tree.map(lambda x: x.block_until_ready()
                           if hasattr(x, "block_until_ready") else x, params)

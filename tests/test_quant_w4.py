@@ -212,3 +212,36 @@ def test_w4a8_e2e_decode():
             assert len(conn.tokens[i]) == 8
     finally:
         gen.shutdown()
+
+
+def test_quantized_lm_head_close_to_float():
+    """Optional lm_head quantization (extension): logits track the float
+    head; the step fn dispatches on the lm_head_q key."""
+    ref = run_model(SPEC, "none")
+    for method in ("online_i8i8", "online_w4a8"):
+        params = llama.quantize_model_params(
+            llama.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32),
+            method, quantize_lm_head=True)
+        assert "lm_head" not in params and "lm_head_q" in params
+        step = llama.make_step_fn(CFG, SPEC, return_logits=True,
+                                  quant_method=method)
+        cache, _ = kv_ops.init_cache(SPEC)
+        out = step(params, cache, jnp.zeros((1,), jnp.float32),
+                   jnp.zeros((1, 1), jnp.int32),
+                   prefill_input((np.arange(20) * 7 + 3) % 250, SPEC),
+                   jax.random.PRNGKey(0))
+        logits = np.asarray(out.logits[0])
+        assert logits.argmax() == ref.argmax(), method
+        rel = np.abs(logits - ref).max() / np.abs(ref).max()
+        assert rel < 0.3, (method, rel)
+
+
+def test_quantized_lm_head_tp_sharding_specs():
+    from ppl.llm.serving_tpu.parallel import shardings
+    params = llama.quantize_model_params(
+        llama.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32),
+        "online_i8i8", quantize_lm_head=True)
+    specs = shardings.param_partition_specs(CFG, params)
+    assert "lm_head" not in specs
+    assert specs["lm_head_q"] == shardings.P(None, "tp")
+    assert specs["lm_head_s"] == shardings.P("tp")

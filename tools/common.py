@@ -40,6 +40,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="online_i8i8: reference-parity int8 w+a; "
                         "online_w4a8: groupwise int4 weights (g=128) x "
                         "int8 acts, halves decode weight bandwidth")
+    p.add_argument("--quantize-lm-head", action="store_true",
+                   help="also quantize the lm_head matmul (extension; "
+                        "the reference quantizes only transformer matmuls)")
     p.add_argument("--quant-matmul-impl", default="auto",
                    choices=["auto", "xla", "pallas", "pallas_interpret"],
                    help="quantized matmul path: XLA composition or the "
@@ -138,6 +141,7 @@ def build_configs(args):
         max_running_batch=args.max_running_batch,
         enable_penalty=args.enable_penalty,
         quant_method=args.quant_method,
+        quantize_lm_head=args.quantize_lm_head,
         quant_matmul_impl=args.quant_matmul_impl,
         multi_step=args.multi_step,
         attention_impl=args.attention_impl,
