@@ -219,7 +219,8 @@ class StepOutput(NamedTuple):
 
 def quantize_model_params(params: Dict[str, Any],
                           method: str = "online_i8i8",
-                          quantize_lm_head: bool = False) -> Dict[str, Any]:
+                          quantize_lm_head: bool = False,
+                          free_originals: bool = False) -> Dict[str, Any]:
     """Convert bf16/f32 layer weights to a quantized format: each big
     matmul weight becomes (<name>_q, <name>_s) — int8 + f32
     per-out-channel scales for ``online_i8i8`` (the reference's
@@ -227,10 +228,20 @@ def quantize_model_params(params: Dict[str, Any],
     for ``online_w4a8`` (TPU extension; RTN groupwise, AWQ-style).
     Embedding / lm_head / norms stay in the float dtype (matching the
     reference, which quantizes the transformer matmuls via the engine
-    and leaves embeddings alone)."""
+    and leaves embeddings alone).
+
+    ``free_originals=True`` deletes each float weight's device buffer as
+    soon as its quantized copy exists — without it, the full bf16 model
+    and the int8 copy coexist in HBM (13.5 GB + 7 GB for LLaMA-2-7B on a
+    16 GB v5e: RESOURCE_EXHAUSTED). Only safe when the caller owns the
+    input pytree and discards it (create_engine does)."""
     from ..ops import quant as quant_ops
 
     import numpy as np
+
+    def _free(x):
+        if free_originals and hasattr(x, "delete"):
+            x.delete()
 
     new_layers = []
     for lp in params["layers"]:
@@ -247,6 +258,7 @@ def quantize_model_params(params: Dict[str, Any],
                     s = s.transpose(1, 0, 2)
                 nl[name + "_q"] = jnp.asarray(np.asarray(q))
                 nl[name + "_s"] = jnp.asarray(np.asarray(s))
+                _free(lp[name])
                 continue
             q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
             if q.ndim == 3:
@@ -262,6 +274,7 @@ def quantize_model_params(params: Dict[str, Any],
             # of the weight EVERY step (~0.5 ms per 22 MB on v5e)
             nl[name + "_q"] = jnp.asarray(np.asarray(q))
             nl[name + "_s"] = jnp.asarray(np.asarray(s))
+            _free(lp[name])
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers
@@ -276,6 +289,7 @@ def quantize_model_params(params: Dict[str, Any],
                                              contract_axis=0)
         out["lm_head_q"] = jnp.asarray(np.asarray(q))
         out["lm_head_s"] = jnp.asarray(np.asarray(s))
+        _free(params["lm_head"])
         del out["lm_head"]
     return out
 

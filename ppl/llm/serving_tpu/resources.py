@@ -36,7 +36,8 @@ def create_engine(model_cfg: ModelConfig, resource_cfg: ResourceConfig,
     if resource_cfg.quant_method in ("online_i8i8", "online_w4a8"):
         from .models.llama import quantize_model_params
         params = quantize_model_params(params, resource_cfg.quant_method,
-                                       resource_cfg.quantize_lm_head)
+                                       resource_cfg.quantize_lm_head,
+                                       free_originals=True)
     # force weights onto device before measuring free memory
     params = jax.tree.map(lambda x: x.block_until_ready()
                           if hasattr(x, "block_until_ready") else x, params)
