@@ -219,11 +219,27 @@ class GeneratorConfig:
     trace_dir: str = ""
     trace_start_step: int = 10
     trace_num_steps: int = 10
+    # Chunked prefill (TPU extension; 0 = off): feed long prompts in
+    # chunks of at most N tokens per step, bounding per-step prefill work
+    # so decode latency stays flat while long prompts stream in. The
+    # sampled token of a non-final chunk is discarded (the engine's
+    # prefix-hit prefill path makes chunk steps exact). Incompatible with
+    # the prefix cache: pages are published to the cache at admission but
+    # chunked KV fills over several steps, so a concurrent hit could read
+    # unwritten pages.
+    prefill_chunk_tokens: int = 0
 
     def validate(self) -> None:
         if self.max_running_batch <= 0:
             raise ConfigError("max_running_batch must be > 0")
-        if self.max_tokens_per_step < self.max_input_tokens_per_request:
+        if self.prefill_chunk_tokens < 0:
+            raise ConfigError("prefill_chunk_tokens must be >= 0")
+        if self.prefill_chunk_tokens and self.enable_prefix_cache:
+            raise ConfigError(
+                "prefill_chunk_tokens is incompatible with the prefix "
+                "cache (chunked KV fills over several steps)")
+        if (self.max_tokens_per_step < self.max_input_tokens_per_request
+                and not self.prefill_chunk_tokens):
             raise ConfigError(
                 "max_tokens_per_step must be >= max_input_tokens_per_request"
             )

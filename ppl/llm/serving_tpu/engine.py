@@ -63,6 +63,10 @@ class TaskState:
     rest_iters: int = 0
     total_len: int = 0
     next_tokens: List[int] = dataclasses.field(default_factory=list)
+    # chunked prefill: prompt tokens not yet fed (TPU extension — bounds
+    # per-step prefill work; the sampled token of a non-final chunk is
+    # discarded and the next chunk is fed instead)
+    pending_prefill: List[int] = dataclasses.field(default_factory=list)
     start_pos: int = 0
     steps: int = 0
     gen_tokens_cnt: int = 0

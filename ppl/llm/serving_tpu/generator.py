@@ -57,8 +57,12 @@ class _CheckResult:
         self.reset_step(0)
         self.reset_request()
 
-    def reset_step(self, running_batch: int) -> None:
-        self.total_tokens_per_step = running_batch
+    def reset_step(self, running_batch: int,
+                   running_tokens: int = -1) -> None:
+        # running tasks cost 1 token/step each, except chunk-continuing
+        # prefills which cost their chunk length
+        self.total_tokens_per_step = (running_batch if running_tokens < 0
+                                      else running_tokens)
         self.running_batch = running_batch
         self.prefill_batch = 0
 
@@ -345,6 +349,10 @@ class LLMGenerator:
         else:
             t.next_tokens = list(token_ids[hit:])
             t.start_pos = hit
+        chunk = self.gen_cfg.prefill_chunk_tokens
+        if chunk and len(t.next_tokens) > chunk:
+            t.pending_prefill = t.next_tokens[chunk:]
+            t.next_tokens = t.next_tokens[:chunk]
 
         self._tid_list.append(t)
         self._tid_map[t.tid] = t
@@ -486,6 +494,7 @@ class LLMGenerator:
         blk = self.engine.multi_step_block
         base_prefill = bool(handle["prefill_idx"])
         if (self.sched.get_pending_size() > 0
+                or any(t.pending_prefill for t in tasks)
                 or not self._finished.empty()
                 or not ((n > 1 and not base_prefill)
                         or (base_prefill and n == 1 and blk > 1))):
@@ -560,12 +569,15 @@ class LLMGenerator:
             if not self._check_total_len(lreq.orig, res):
                 logger.error("%s", res.errmsg)
                 return True  # admitted to fail fast in _parse_request
-            res.total_tokens_per_step += res.first_fill_len
+            # with chunked prefill only the first chunk lands this step
+            step_cost = (min(res.first_fill_len, cfg.prefill_chunk_tokens)
+                         if cfg.prefill_chunk_tokens else res.first_fill_len)
+            res.total_tokens_per_step += step_cost
             if res.total_tokens_per_step > cfg.max_tokens_per_step:
-                res.total_tokens_per_step -= res.first_fill_len
+                res.total_tokens_per_step -= step_cost
                 return False
             if not self._check_and_alloc_memory(lreq.orig, res):
-                res.total_tokens_per_step -= res.first_fill_len
+                res.total_tokens_per_step -= step_cost
                 return False
             res.running_batch += 1
             res.prefill_batch += 1
@@ -576,7 +588,10 @@ class LLMGenerator:
             if self._pending_slot_clears and not self._spec_queue:
                 self.engine.clear_penalty_slots(self._pending_slot_clears)
                 self._pending_slot_clears.clear()
-            res.reset_step(len(self._tid_list))
+            res.reset_step(len(self._tid_list),
+                           sum(len(t.next_tokens) for t in self._tid_list)
+                           if cfg.prefill_chunk_tokens
+                           else len(self._tid_list))
             prof = self.profiler
             with TimingGuard() as prep_t:
                 while True:
@@ -655,8 +670,21 @@ class LLMGenerator:
                             continue
                         gen_token = row_t[i]
                         logprob = row_lp[i]
-                        t.gen_tokens_cnt += 1
                         prev_seqlen = len(t.next_tokens)
+                        if t.pending_prefill:
+                            # non-final prompt chunk: its sampled token is
+                            # meaningless — advance past the chunk and feed
+                            # the next one (exact: the step's prefix-hit
+                            # prefill path attends over the cached prefix)
+                            if n == 0 and prev_seqlen > 1:
+                                n_prefill_tokens += prev_seqlen
+                            t.start_pos += prev_seqlen
+                            chunk = cfg.prefill_chunk_tokens
+                            t.next_tokens = t.pending_prefill[:chunk]
+                            t.pending_prefill = t.pending_prefill[chunk:]
+                            t.steps += 1
+                            continue
+                        t.gen_tokens_cnt += 1
                         if n == 0 and prev_seqlen > 1:
                             n_prefill_tokens += prev_seqlen
                         t.next_tokens = [gen_token]

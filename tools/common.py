@@ -93,6 +93,10 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable-prefix-cache", action="store_true")
     p.add_argument("--enable-penalty", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
+    p.add_argument("--prefill-chunk-tokens", type=int, default=0,
+                   help="feed long prompts in chunks of at most N tokens "
+                        "per step (0 = whole prompt in one step); bounds "
+                        "per-step prefill work for flat decode latency")
     p.add_argument("--speculative-blocks", type=int, default=1,
                    help="decode-block pipeline depth (0 disables "
                         "speculative block dispatch)")
@@ -165,6 +169,7 @@ def build_configs(args):
         enable_prefix_cache=args.enable_prefix_cache,
         enable_profiling=args.enable_profiling,
         speculative_blocks=args.speculative_blocks,
+        prefill_chunk_tokens=args.prefill_chunk_tokens,
         trace_dir=args.jax_trace_dir,
     )
     return model_cfg, resource_cfg, gen_cfg
