@@ -234,6 +234,17 @@ class GeneratorConfig:
             raise ConfigError("max_running_batch must be > 0")
         if self.prefill_chunk_tokens < 0:
             raise ConfigError("prefill_chunk_tokens must be >= 0")
+        if self.prefill_chunk_tokens == 1:
+            # A 1-token chunk is indistinguishable from a decode row in
+            # the engine's build_plan split; require >= 2.
+            raise ConfigError("prefill_chunk_tokens must be 0 or >= 2")
+        if (self.prefill_chunk_tokens
+                and self.prefill_chunk_tokens > self.max_tokens_per_step):
+            # Otherwise a prompt longer than the step budget has admission
+            # cost min(first_fill, chunk) > max_tokens_per_step and waits
+            # in the pending queue forever.
+            raise ConfigError(
+                "prefill_chunk_tokens must be <= max_tokens_per_step")
         if self.prefill_chunk_tokens and self.enable_prefix_cache:
             raise ConfigError(
                 "prefill_chunk_tokens is incompatible with the prefix "
@@ -332,3 +343,9 @@ class ResourceConfig:
                                           "pallas_interpret"):
             raise ConfigError(
                 f"unknown quant_matmul_impl {self.quant_matmul_impl}")
+        if self.quantize_lm_head and self.quant_method == "none":
+            # otherwise the flag is silently ignored (the quantize branch
+            # only runs for online_i8i8 / online_w4a8)
+            raise ConfigError(
+                "quantize_lm_head requires quant_method online_i8i8 "
+                "or online_w4a8")

@@ -318,8 +318,15 @@ class LLMEngine:
         # waste at most N-1 steps of compute (their later tokens are
         # discarded by the generator; their KV writes land in pages they
         # already own or the trash page).
+        # A mid-prompt chunked-prefill task (prefill_chunk_tokens) may
+        # carry exactly one next_token and so classify as a decode row,
+        # but its pending_prefill tail still has to reach the model one
+        # chunk at a time — a multi-step block would feed device-sampled
+        # tokens back instead and corrupt its KV. Gate blocks on no task
+        # having prompt tokens left (same predicate as _speculate).
         n_steps = 1
-        if self._multi_step > 1 and not prefill_idx and tasks:
+        if (self._multi_step > 1 and not prefill_idx and tasks
+                and not any(t.pending_prefill for t in tasks)):
             n_steps = self._multi_step
 
         bd = _bucket(max(len(decode_idx), 1), self.batch_buckets)

@@ -271,7 +271,13 @@ class LLMGenerator:
                                 res.cache_hit_count, len(token_ids))
                 fresh = self.page_mgr.alloc(need)
                 if fresh is None:
+                    # same OOM as every sibling path: drop the prefix
+                    # refs AND throttle admission (cooldown) so we don't
+                    # hot-spin re-probing the same request each step
                     self.prefix_cache.dec_ref_count(res.hash_list)
+                    self._cooldown = min(
+                        max(1, int(len(self._tid_list) * 0.1)),
+                        cfg.max_cooldown_request)
                     return False
                 res.page_list.extend(fresh)
                 # register this prompt's newly filled full pages; invariant:
@@ -305,6 +311,21 @@ class LLMGenerator:
         if cfg.enable_penalty:
             res.slot_index = self.batch_slots_mgr.alloc(1)
             if res.slot_index == INVALID_INDEX:
+                # KV was already allocated above — release it or it
+                # leaks for the life of the server (the admission batch
+                # gate usually makes this unreachable, but the invariant
+                # must not depend on that)
+                if mc.cache_mode == 0:
+                    self.idx_mgr.free(res.cache_index, len(res.page_list))
+                    res.cache_index = INVALID_INDEX
+                elif cfg.enable_prefix_cache:
+                    n_prefix = len(res.hash_list)
+                    self.prefix_cache.dec_ref_count(res.hash_list)
+                    self.page_mgr.free(res.page_list[n_prefix:])
+                else:
+                    self.page_mgr.free(res.page_list)
+                res.page_list = []
+                res.hash_list = []
                 return False
         return True
 
@@ -449,9 +470,9 @@ class LLMGenerator:
     def _dispatch_next(self, tasks: List[TaskState], prof) -> Dict:
         """Dispatch the next step/block for ``tasks``.
 
-        REACTIVE continuation: early-stopping requests can never be
-        dispatched speculatively (a stop token may end them mid-block),
-        so each decode block otherwise pays a full host plan rebuild +
+        REACTIVE continuation: whenever a block is dispatched
+        non-speculatively (pipeline drained, e.g. after a finish
+        changed membership) it would pay a full host plan rebuild +
         re-upload. When the membership is unchanged since the last
         dispatch and every row is a decode row, the next block is by
         construction a pure continuation of the device-resident plan —
@@ -504,8 +525,15 @@ class LLMGenerator:
             # tokens consumed before the new block begins
             ahead = (1 + depth * blk if base_prefill
                      else (depth + 1) * n)
-            if not all(t.rest_iters > ahead and not t.early_stopping
-                       for t in tasks):
+            # EOS-stopping tasks MAY speculate: a stop token mid-block
+            # just means the later blocks' tokens for that row are
+            # discarded at consume (same reconciliation as LENGTH
+            # finishes inside a block), and its KV writes land in pages
+            # it still owns — which cannot be reallocated while the spec
+            # queue is non-empty because admission is gated on an empty
+            # queue. Only the LENGTH horizon must cover the lookahead:
+            # past total_len the row would write outside its page_list.
+            if not all(t.rest_iters > ahead for t in tasks):
                 return
             base = (self._spec_queue[-1][0]
                     if self._spec_queue else handle)

@@ -110,21 +110,21 @@ def _w4_kernel(group, gc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
     wg = w.reshape(g, group, bn)
     sg = s_ref[0]                                               # [g, bn]
 
-    def body(i, acc):
+    # static Python unroll: Mosaic has no dynamic_slice lowering for VMEM
+    # values, and the chunk count is a small static number (g/gc <= ~32,
+    # typically 4), so constant-index slices are both required and cheap
+    acc = jnp.zeros((bt, bn), jnp.float32)
+    for i in range(g // gc):
         xi = xq_ref[pl.ds(i * gc, gc)]                          # [gc,bt,gr]
-        wi = jax.lax.dynamic_slice_in_dim(wg, i * gc, gc, 0)
-        si = jax.lax.dynamic_slice_in_dim(sg, i * gc, gc, 0)
+        wi = jax.lax.slice_in_dim(wg, i * gc, (i + 1) * gc, axis=0)
+        si = jax.lax.slice_in_dim(sg, i * gc, (i + 1) * gc, axis=0)
         part = jax.lax.dot_general(
             xi, wi,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
         )                                                       # [gc,bt,bn]
-        return acc + (part.astype(jnp.float32)
-                      * si[:, None, :]).sum(axis=0)
-
-    acc = jax.lax.fori_loop(
-        0, g // gc, body, jnp.zeros((bt, bn), jnp.float32),
-        unroll=(g // gc) <= 8)
+        acc = acc + (part.astype(jnp.float32)
+                     * si[:, None, :]).sum(axis=0)
     out_ref[0] = acc * xs_ref[:]
 
 

@@ -83,6 +83,21 @@ _LAYER_SPECS = {
 }
 
 
+def _rank_adjust(spec: P, arr: Any) -> P:
+    """Fit a scale spec to the actual array rank: online_w4a8 scales
+    carry one extra LEADING group axis vs the i8i8 per-out-channel
+    shapes the ``_s`` specs describe ([G, ...out] vs [...out], see
+    ops/quant.py:quantize_weight_int4), so prepend a replicated axis —
+    otherwise the spec would shard the group axis instead of the
+    out-channel one."""
+    if arr is None or not hasattr(arr, "ndim"):
+        return spec
+    extra = arr.ndim - len(spec)
+    if extra <= 0:
+        return spec
+    return P(*((None,) * extra + tuple(spec)))
+
+
 def param_partition_specs(cfg: ModelConfig,
                           params: Optional[Dict[str, Any]] = None
                           ) -> Dict[str, Any]:
@@ -93,10 +108,16 @@ def param_partition_specs(cfg: ModelConfig,
         n_layers = cfg.num_layers
         layer_keys = ("attn_norm", "ffn_norm", "wqkv", "wo",
                       "w_gate_up", "w_down")
-    layer_spec = {k: _LAYER_SPECS[k] for k in layer_keys}
+    if params is not None:
+        layers = [{k: _rank_adjust(_LAYER_SPECS[k], lp.get(k))
+                   for k in layer_keys}
+                  for lp in params["layers"]]
+    else:
+        layer_spec = {k: _LAYER_SPECS[k] for k in layer_keys}
+        layers = [dict(layer_spec) for _ in range(n_layers)]
     top = {
         "embedding": P("tp", None),
-        "layers": [dict(layer_spec) for _ in range(n_layers)],
+        "layers": layers,
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
         # quantized lm_head (column parallel like the float one; the
@@ -105,7 +126,8 @@ def param_partition_specs(cfg: ModelConfig,
         "lm_head_s": P("tp"),
     }
     if params is not None:
-        top = {k: v for k, v in top.items() if k in params}
+        top = {k: (_rank_adjust(v, params[k]) if k.endswith("_s") else v)
+               for k, v in top.items() if k in params}
     else:
         top.pop("lm_head_q")
         top.pop("lm_head_s")

@@ -146,17 +146,96 @@ def test_continuation_fast_path_fires():
         gen.shutdown()
 
 
-def test_speculation_not_used_with_early_stopping():
-    """Stop-token-eligible requests never speculate (guard condition) and
-    still finish correctly."""
-    gen, conn = build_with_multi(8)
+def test_speculation_with_early_stopping_equivalence():
+    """EOS-stopping traffic speculates (the realistic-workload path): a
+    stop token hit mid-block with further speculative blocks in flight
+    must yield exactly the same truncated stream as the unpipelined run,
+    and all resources must be reclaimed."""
+    import time
+    from test_generator_e2e import build, make_gen_cfg
+
+    # pass 1: discover what greedy generates (deterministic random model)
+    gen, conn = build_with_multi(1)
     try:
-        r = req(1, gen_len=30, early_stopping=True)
-        r.stop_tokens = {255}  # byte unlikely early; exercises the guard
-        run(gen, conn, [r])
-        assert 1 <= len(conn.tokens[1]) <= 30
+        run(gen, conn, [req(1, prompt="eos spec probe", gen_len=40)])
+        baseline = list(conn.tokens[1])
     finally:
         gen.shutdown()
+    assert len(baseline) == 40
+    # stop on a token generated mid-stream (inside some block)
+    stop_tok = baseline[13]
+    stop_at = baseline.index(stop_tok)  # first occurrence finishes it
+    expect = baseline[:stop_at + 1]
+
+    results = {}
+    for depth in (0, 2):
+        gen_cfg = make_gen_cfg()
+        gen_cfg.speculative_blocks = depth
+        gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+        spec_fired = {"n": 0}
+        orig = gen.engine.dispatch_plan
+
+        def spying(plan, profiler=None, _orig=orig, _s=spec_fired):
+            if plan.get("feed_device_tokens"):
+                _s["n"] += 1
+            return _orig(plan, profiler=profiler)
+
+        gen.engine.dispatch_plan = spying
+        try:
+            r = req(1, prompt="eos spec probe", gen_len=40,
+                    early_stopping=True)
+            r.stop_tokens = {stop_tok}
+            run(gen, conn, [r])
+            results[depth] = list(conn.tokens[1])
+            assert conn.finish_flags[1] == FinishFlag.EOS_TOKEN
+            if depth:
+                assert spec_fired["n"] > 0, \
+                    "speculation never fired under EOS traffic"
+            time.sleep(0.3)
+            assert gen.page_mgr.get_avail() == gen.page_mgr.num_pages
+        finally:
+            gen.shutdown()
+    assert results[0] == expect
+    assert results[2] == expect
+
+
+def test_speculation_eos_batch_mixed_finish_order():
+    """Several EOS-stopping requests finishing at different steps while
+    the pipeline runs: every stream matches its unpipelined twin."""
+    from test_generator_e2e import build, make_gen_cfg
+
+    gen, conn = build_with_multi(1)
+    try:
+        reqs = [req(i, prompt=f"mixed finish {i}", gen_len=32)
+                for i in range(3)]
+        run(gen, conn, reqs)
+        base = {i: list(conn.tokens[i]) for i in range(3)}
+    finally:
+        gen.shutdown()
+    stops = {0: base[0][5], 1: base[1][18], 2: base[2][29]}
+    expect = {}
+    for i in range(3):
+        cut = base[i].index(stops[i])
+        expect[i] = base[i][:cut + 1]
+
+    results = {}
+    for depth in (0, 2):
+        gen_cfg = make_gen_cfg()
+        gen_cfg.speculative_blocks = depth
+        gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+        try:
+            reqs = []
+            for i in range(3):
+                r = req(i, prompt=f"mixed finish {i}", gen_len=32,
+                        early_stopping=True)
+                r.stop_tokens = {stops[i]}
+                reqs.append(r)
+            run(gen, conn, reqs)
+            results[depth] = {i: list(conn.tokens[i]) for i in range(3)}
+        finally:
+            gen.shutdown()
+    assert results[0] == expect
+    assert results[2] == expect
 
 
 def test_cancel_with_penalty_during_speculation():

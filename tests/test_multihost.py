@@ -16,6 +16,59 @@ from test_generator_e2e import DummyTokenizer, build, make_gen_cfg, \
     make_model_cfg, req, run
 
 
+def test_two_process_lockstep_worker_serve(tmp_path):
+    """REAL multi-process control plane: spawn 2 ``jax.distributed`` CPU
+    processes (controller + worker), run the generator with the broadcast
+    plan channel + ``worker_serve`` lockstep — including multi-step
+    blocks, speculative continuation messages, and a membership change —
+    and require tokens identical to the single-process run."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    out_json = str(tmp_path / "controller.json")
+    script = os.path.join(os.path.dirname(__file__), "_multihost_proc.py")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # proc sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), coord, out_json],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(f"--- proc {i} ---\n{o}" for i, o in enumerate(outs))
+    with open(out_json) as f:
+        got = json.load(f)["tokens"]
+
+    # single-process twin (same seed/random weights, same knobs)
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    try:
+        run(gen, conn, [req(1, prompt="multi host lockstep", gen_len=24),
+                        req(2, prompt="second one", gen_len=16)])
+        assert got["1"] == list(conn.tokens[1])
+        assert got["2"] == list(conn.tokens[2])
+    finally:
+        gen.shutdown()
+
+
 def test_broadcast_single_process_identity():
     plan = {"op": "step", "plan": {"arrays": {"x": np.arange(4)}}}
     out = multihost.broadcast_plan(plan)
