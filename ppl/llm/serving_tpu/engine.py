@@ -149,6 +149,9 @@ class LLMEngine:
             sampling_ops.clear_count_slots, donate_argnums=(0,))
         self._multi_step = max(1, resource_cfg.multi_step)
         self._packed_cache: Dict[Any, Any] = {}
+        # when set, every newly compiled program key is appended to this
+        # JSON manifest (see save_compile_manifest / prewarm)
+        self.manifest_path: str = ""
         self._last_final_tokens = None  # device [B_bucket], block feedback
         self._last_handle: Optional[Dict[str, Any]] = None
 
@@ -276,7 +279,95 @@ class LLMEngine:
 
         fn = jax.jit(runner, donate_argnums=(1, 2, 3))
         self._packed_cache[key] = fn
+        if self.manifest_path:
+            # eager save: a new program key means a compile just became
+            # (or is about to become) cached — record it now so ANY
+            # shutdown (SIGKILL included) leaves a complete manifest
+            try:
+                self.save_compile_manifest(self.manifest_path)
+            except OSError as e:
+                logger.warning("manifest save failed: %s", e)
         return fn
+
+    # -- compile manifest / pre-warm -----------------------------------------
+
+    def compiled_keys(self) -> List[Tuple]:
+        """Keys of every step program compiled so far (the manifest)."""
+        return sorted(self._packed_cache.keys())
+
+    def save_compile_manifest(self, path: str) -> None:
+        """Persist the compiled-program keys, merged with any existing
+        manifest, so a later server start can pre-compile them all before
+        taking traffic (cold-start taming: the unrolled block programs
+        take minutes each to compile; a new (bucket x variant) hit
+        mid-serving would stall the decode loop that long)."""
+        import json
+        import os
+        keys = {tuple(k) for k in self.compiled_keys()}
+        try:
+            with open(path) as f:
+                keys |= {tuple(k) for k in json.load(f)["keys"]}
+        except (OSError, ValueError, KeyError):
+            pass
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"keys": sorted(keys)}, f)
+        os.replace(tmp, path)
+
+    def prewarm_from_manifest(self, path: str) -> int:
+        import json
+        try:
+            with open(path) as f:
+                keys = json.load(f)["keys"]
+        except (OSError, ValueError, KeyError):
+            return 0
+        return self.prewarm(keys)
+
+    def prewarm(self, keys) -> int:
+        """AOT-compile step programs for ``keys`` (the tuples from
+        :meth:`compiled_keys`) against the CURRENT engine state shapes.
+
+        Uses ``jit(...).lower(avals).compile()`` so no device state is
+        touched or donated; with the persistent compilation cache on,
+        the later real dispatch re-traces but hits the cache (seconds,
+        not minutes). Keys whose shapes no longer fit (e.g. a manifest
+        from a different model/bucket table) are skipped."""
+        def aval(x):
+            sh = getattr(x, "sharding", None)
+            if sh is not None and getattr(sh, "mesh", None) is None:
+                sh = None  # single-device arrays: let jit place them
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+        n_ok = 0
+        rng_a = aval(jax.random.fold_in(self._rng, 0))
+        for key in keys:
+            try:
+                n_steps, feed, bd, bp, qp, kvp, greedy, cont = tuple(key)
+            except (TypeError, ValueError):
+                continue
+            try:
+                fn = self._get_packed_runner(
+                    int(n_steps), bool(feed), int(bd), int(bp), int(qp),
+                    int(kvp), greedy=bool(greedy), cont=bool(cont))
+                b = bd + bp
+                packed_len = (2 * bd + bp * qp + 2 * bp + b * kvp + 9 * b)
+                args = (jax.tree.map(aval, self._params),
+                        aval(self.kv_cache), aval(self.kv_scale),
+                        aval(self.count_map),
+                        jax.ShapeDtypeStruct((packed_len,), jnp.int32))
+                if cont:
+                    args += (jax.ShapeDtypeStruct((), jnp.int32),
+                             jax.ShapeDtypeStruct((bd,), jnp.int32), rng_a)
+                elif feed:
+                    args += (jax.ShapeDtypeStruct((bd,), jnp.int32), rng_a)
+                else:
+                    args += (rng_a,)
+                fn.lower(*args).compile()
+                n_ok += 1
+            except Exception as e:  # stale manifest entries are non-fatal
+                logger.warning("prewarm skipped key %s: %s", key, e)
+        return n_ok
 
     def _kvp_bucket(self, max_pages: int) -> int:
         b = 1

@@ -1,0 +1,78 @@
+"""Compile-manifest pre-warm: cold-start taming (the unrolled block
+programs take minutes to compile on TPU; a server must be able to
+pre-compile yesterday's (bucket x variant) set before taking traffic)."""
+
+import numpy as np
+
+from test_generator_e2e import build, make_gen_cfg, req, run
+
+
+def test_manifest_roundtrip_and_prewarm(tmp_path):
+    path = str(tmp_path / "warmup.json")
+
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    try:
+        run(gen, conn, [req(1, prompt="prewarm manifest", gen_len=24)])
+        tokens_first = list(conn.tokens[1])
+        keys = gen.engine.compiled_keys()
+        assert keys, "no programs compiled?"
+        gen.engine.save_compile_manifest(path)
+    finally:
+        gen.shutdown()
+
+    # fresh engine: prewarm everything the first run compiled, then the
+    # same workload must still produce identical tokens
+    gen_cfg = make_gen_cfg()
+    gen_cfg.speculative_blocks = 2
+    gen2, conn2 = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    try:
+        n = gen2.engine.prewarm_from_manifest(path)
+        assert n == len(keys), (n, keys)
+        run(gen2, conn2, [req(1, prompt="prewarm manifest", gen_len=24)])
+        assert list(conn2.tokens[1]) == tokens_first
+    finally:
+        gen2.shutdown()
+
+    # saving again merges rather than overwrites
+    import json
+    gen3, conn3 = build(gen_cfg=make_gen_cfg())
+    try:
+        run(gen3, conn3, [req(2, prompt="x", gen_len=2)])
+        gen3.engine.save_compile_manifest(path)
+        saved = {tuple(k) for k in json.load(open(path))["keys"]}
+        assert {tuple(k) for k in keys} <= saved
+    finally:
+        gen3.shutdown()
+
+
+def test_prewarm_packed_length_matches_pack_arrays():
+    """The aval the prewarm path lowers with must have exactly the
+    length _pack_arrays produces, or the compile is for a phantom
+    signature."""
+    gen, conn = build()
+    try:
+        from ppl.llm.serving_tpu.engine import TaskState
+        t = TaskState(tid=1, next_tokens=[5, 6, 7], rest_iters=8,
+                      page_list=[0, 1], total_len=11)
+        plan = gen.engine.build_plan([t])
+        a = plan["arrays"]
+        bd = plan["bd"]
+        bp, qp = a["prefill_tokens"].shape
+        kvp = a["page_table"].shape[1]
+        b = bd + bp
+        formula = 2 * bd + bp * qp + 2 * bp + b * kvp + 9 * b
+        assert gen.engine._pack_arrays(a).size == formula
+    finally:
+        gen.shutdown()
+
+
+def test_prewarm_skips_stale_keys(tmp_path):
+    gen, conn = build()
+    try:
+        n = gen.engine.prewarm([["bogus"], [1, 0, 4, 0, 32, 4, 0, 0]])
+        # the malformed key is skipped; the well-formed one compiles
+        assert n == 1
+    finally:
+        gen.shutdown()

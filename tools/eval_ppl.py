@@ -42,8 +42,10 @@ def main():
                                  args.tokenizer_type)
     params = loader.load_params(model_cfg, resource_cfg.model_format,
                                 resource_cfg.model_dir)
-    if resource_cfg.quant_method == "online_i8i8":
-        params = llama.quantize_model_params(params)
+    if resource_cfg.quant_method in ("online_i8i8", "online_w4a8"):
+        params = llama.quantize_model_params(
+            params, resource_cfg.quant_method,
+            resource_cfg.quantize_lm_head, free_originals=True)
 
     L = args.seq_len
     pages_per_chunk = -(-L // model_cfg.page_size)

@@ -34,6 +34,12 @@ def main():
     # replica takes tensor-parallel-size devices); NOT a mesh axis —
     # replicas have divergent KV states (parallel/shardings.py)
     parser.add_argument("--data-parallel-size", type=int, default=1)
+    parser.add_argument("--warmup-manifest", default="",
+                        help="JSON manifest of step-program keys: "
+                        "pre-compile them all BEFORE serving traffic "
+                        "(multi-minute block compiles otherwise stall "
+                        "the decode loop on first hit); newly compiled "
+                        "keys are appended as they happen")
     # Working implementation of the reference's dead --monitor-port flag
     # (llm_server.cc:89-90 parses it; nothing serves it there)
     parser.add_argument("--monitor-port", type=int, default=0,
@@ -106,6 +112,16 @@ def main():
                 multihost.worker_serve(engine)
                 return
             plan_channel = multihost.controller_plan_channel
+        if args.warmup_manifest:
+            import time as _time
+            t0 = _time.perf_counter()
+            n = engine.prewarm_from_manifest(args.warmup_manifest)
+            if n:
+                print(f"[INFO] pre-warmed {n} step programs in "
+                      f"{_time.perf_counter() - t0:.1f}s", flush=True)
+            # eager per-compile saves (engine.manifest_path) — robust
+            # against any kill, unlike atexit/SIGTERM hooks
+            engine.manifest_path = args.warmup_manifest
         generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer,
                                  conn, kv_max, plan_channel=plan_channel)
         profiler = generator.profiler
