@@ -141,7 +141,10 @@ class LLMEngine:
             quant_method=resource_cfg.quant_method,
             attn_impl=attn_impl,
             quant_impl=quant_impl,
-            top_k_cap=self.top_k_cap)
+            top_k_cap=self.top_k_cap,
+            # Pallas kernels can't be partitioned by GSPMD; with a mesh
+            # they run in shard_map islands (parallel/pallas_tp.py)
+            mesh=mesh)
         if attn_impl in ("pallas", "pallas_interpret"):
             self._step_kwargs["seq_block"] = (
                 resource_cfg.attention_seq_block)

@@ -302,7 +302,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                  quant_impl: str = "xla",
                  top_k_cap: int = 0,
                  seq_block: int = 4,
-                 greedy_only: bool = False):
+                 greedy_only: bool = False,
+                 mesh=None):
     """Build the fused forward+sample step for one model configuration.
 
     The returned function is pure and jittable; the engine jits it with
@@ -312,6 +313,12 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     kernels, TPU), or "pallas_interpret" (kernels in interpreter mode,
     for CPU integration tests). This is the TPU analog of the reference's
     decoding-attention kernel-variant knobs (resource_manager.cc:74-112).
+
+    ``mesh``: tensor-parallel Mesh. GSPMD has no partitioning rule for a
+    ``pallas_call`` (it would replicate the call, all-gathering cache and
+    weights), so with a mesh every Pallas kernel runs inside a
+    ``shard_map`` island (parallel/pallas_tp.py); the XLA paths are left
+    to GSPMD unchanged.
     """
     from ..ops.pallas import paged_attention as pallas_attn
 
@@ -321,7 +328,24 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
     quantized_w = quant_method in ("online_i8i8", "online_w4a8")
     use_pallas = attn_impl in ("pallas", "pallas_interpret")
     interpret = attn_impl == "pallas_interpret"
-    matmul = _make_matmul(quant_method, quant_impl)
+    if (mesh is not None and quantized_w
+            and quant_impl in ("pallas", "pallas_interpret")):
+        from ..parallel import pallas_tp
+        matmul = pallas_tp.make_sharded_quant_matmul(
+            mesh, quant_method if quant_method is not True
+            else "online_i8i8",
+            interpret=quant_impl == "pallas_interpret")
+    else:
+        matmul = _make_matmul(quant_method, quant_impl)
+    if mesh is not None and use_pallas:
+        from functools import partial as _partial
+
+        from ..parallel import pallas_tp
+        decode_attn = _partial(pallas_tp.sharded_decode_attention, mesh)
+        prefill_attn = _partial(pallas_tp.sharded_prefill_attention, mesh)
+    else:
+        decode_attn = pallas_attn.paged_decode_attention
+        prefill_attn = pallas_attn.paged_prefill_attention
     use_alibi = cfg.position_encoding == "alibi"
     slopes = attn_ops.alibi_slopes(n_q) if use_alibi else None
     attn_bias = cfg.attn_bias
@@ -414,7 +438,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             new_kv = (k, v)
             sl = kv_scale if spec.quantized else None
             if use_pallas:
-                attn_d = (pallas_attn.paged_decode_attention(
+                attn_d = (decode_attn(
                     q[:bd], kv_cache, sl, pt_decode, ctx_decode, spec,
                     layer=li, fresh_k=k[:bd], fresh_v=v[:bd],
                     seq_block=seq_block,
@@ -422,7 +446,7 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                     jnp.zeros((0, n_q, hd), compute_dtype))
                 if bp:
                     fslab, fscale, _, _ = prep_fresh_prefill(k, v)
-                    attn_p = pallas_attn.paged_prefill_attention(
+                    attn_p = prefill_attn(
                         q[bd:].reshape(bp, qp, n_q, hd), kv_cache, sl,
                         pt_prefill, inp.prefill_start, inp.prefill_len,
                         spec, layer=li, fresh_kv=fslab,

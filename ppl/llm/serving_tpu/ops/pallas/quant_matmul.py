@@ -53,20 +53,42 @@ def _pick_block_t(d: int, t: int, target_bytes: int = 1 << 20) -> int:
     rows, ~6 MB x-tile VMEM at D=2048) until the weights re-stream at
     most 8 times."""
     bt = max(128, min(512, (target_bytes // max(2 * d, 1)) // 128 * 128))
-    while bt < 1024 and -(-t // bt) > 8 and bt * 3 * d < 24 * (1 << 20):
+    # guard on the POST-double footprint: ~5 bytes/elem resident
+    # (bf16 x-tile double-buffered + int8 quantized scratch). At 7B's
+    # down-proj (D=11008) the old pre-double guard let bt reach 1024,
+    # whose quantize-pass f32 stack alone blew the 64 MB scoped VMEM
+    # limit (measured: 101.78M requested, bench_7b OOM 2026-08-19).
+    while bt < 1024 and -(-t // bt) > 8 and (2 * bt) * 5 * d < 32 * (1 << 20):
         bt *= 2
     return min(bt, max(8, ((t + 7) // 8) * 8))
 
 
-def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
+def _quant_chunk(d: int, bt: int, budget_bytes: int = 8 << 20) -> int:
+    """Row sub-block for the in-kernel quantize pass: the f32 upcast of
+    the x tile lives on the VMEM *stack*, so a [bt, D] tile at 7B shapes
+    (bt=512, D=11008 -> 22.5 MB f32) must be processed in chunks. Halve
+    while the f32 chunk exceeds the budget, keeping rows 16-aligned so
+    the dynamic-sliced int8 scratch writes stay sublane-aligned."""
+    qc = bt
+    while qc % 16 == 0 and qc > 16 and qc * d * 4 > budget_bytes:
+        qc //= 2
+    return qc
+
+
+def _kernel(qc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
     @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _():
-        x32 = x_ref[:].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)   # [bt, 1]
-        scale = absmax * (1.0 / 127.0)
-        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-10), 0.0)
-        xq_ref[:] = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
-        xs_ref[:] = scale
+        # static Python chunk loop: bounds the f32 stack intermediate
+        # to [qc, D] regardless of tile height (see _quant_chunk)
+        for i in range(0, x_ref.shape[0], qc):
+            x32 = x_ref[pl.ds(i, qc)].astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)  # [qc,1]
+            scale = absmax * (1.0 / 127.0)
+            inv = jnp.where(scale > 0,
+                            1.0 / jnp.maximum(scale, 1e-10), 0.0)
+            xq_ref[pl.ds(i, qc)] = jnp.clip(
+                jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+            xs_ref[pl.ds(i, qc)] = scale
 
     acc = jax.lax.dot_general(
         xq_ref[:], w_ref[0],
@@ -76,7 +98,8 @@ def _kernel(x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
     out_ref[0] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0]
 
 
-def _w4_kernel(group, gc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
+def _w4_kernel(group, gc, qc, x_ref, w_ref, s_ref, out_ref, xq_ref,
+               xs_ref):
     """w4a8: groupwise-int4 weights x per-token-int8 activations.
 
     The activation tile is quantized ONCE per t-tile (same persistence
@@ -95,13 +118,17 @@ def _w4_kernel(group, gc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
 
     @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _():
-        x32 = x_ref[:].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)   # [bt, 1]
-        scale = absmax * (1.0 / 127.0)
-        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-10), 0.0)
-        xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
-        xq_ref[:] = xq.reshape(bt, g, group).transpose(1, 0, 2)
-        xs_ref[:] = scale
+        # chunked like _kernel: bounds the f32 stack intermediate
+        for i in range(0, bt, qc):
+            x32 = x_ref[pl.ds(i, qc)].astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)  # [qc,1]
+            scale = absmax * (1.0 / 127.0)
+            inv = jnp.where(scale > 0,
+                            1.0 / jnp.maximum(scale, 1e-10), 0.0)
+            xq = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+            xq_ref[:, pl.ds(i, qc)] = (
+                xq.reshape(qc, g, group).transpose(1, 0, 2))
+            xs_ref[pl.ds(i, qc)] = scale
 
     b32 = w_ref[0].astype(jnp.int32)
     lo = (b32 << 28) >> 28
@@ -179,10 +206,11 @@ def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
     bn = block_n or _pick_block_n(d // 2, n)
     bt = block_t or _pick_block_t(d, t)
     gc = _pick_gc(g, bt, bn)
+    qc = _quant_chunk(d, bt)
     grid = (pl.cdiv(t, bt), c, pl.cdiv(n, bn))
 
     out = pl.pallas_call(
-        functools.partial(_w4_kernel, group, gc),
+        functools.partial(_w4_kernel, group, gc, qc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, d), lambda i, ci, j: (i, 0),
@@ -251,10 +279,11 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
     s3 = w_scale.reshape(c, 1, n).astype(jnp.float32)
     bn = block_n or _pick_block_n(d, n)
     bt = block_t or _pick_block_t(d, t)
+    qc = _quant_chunk(d, bt)
     grid = (pl.cdiv(t, bt), c, pl.cdiv(n, bn))
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, qc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, d), lambda i, ci, j: (i, 0),

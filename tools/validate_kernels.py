@@ -150,6 +150,21 @@ def main():
     ok &= check("w4a8/down-proj-g44", lambda: w4a8_matmul_pallas(
         xd, w4d, s4d, interpret=interp))
 
+    if not interp:
+        # 7B down-proj prefill tile (D=11008, T=4128): the shape whose
+        # quantize-pass f32 stack blew the 64 MB scoped-VMEM limit
+        # (bench_7b 2026-08-19). Compile-time failure mode, so TPU-only;
+        # interpret mode would grind through ~47 GFLOP in numpy.
+        x7 = jnp.asarray(rng.randn(4128, 11008), jnp.bfloat16)
+        w7 = jnp.asarray(rng.randint(-127, 127, (11008, 512)), jnp.int8)
+        s7 = jnp.ones((512,), jnp.float32)
+        ok &= check("i8i8/7b-downproj-tile", lambda: i8i8_matmul_pallas(
+            x7, w7, s7))
+        w47 = jnp.asarray(rng.randint(-128, 127, (5504, 512)), jnp.int8)
+        s47 = jnp.ones((86, 512), jnp.float32)
+        ok &= check("w4a8/7b-downproj-tile", lambda: w4a8_matmul_pallas(
+            x7, w47, s47))
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 
