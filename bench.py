@@ -64,7 +64,8 @@ def main():
             num_heads=32, num_kv_heads=32, vocab_size=32000,
             cache_mode=1, page_size=128, dtype="bfloat16")
         batch, prompt_len, gen_len = 32, 128, 128
-        kv_tokens = 16 * 1024   # 32 kv heads -> 16k tokens ~ 5.2 GB int8
+        # 32 kv heads -> 16k tokens ~ 5.4 GB int8 incl. scales
+        kv_tokens = int(os.environ.get("BENCH_KV_TOKENS", 16 * 1024))
         variant = "i8i8" if variant == "i8i8_7b" else "w4"
     elif on_tpu:
         model_cfg = ModelConfig(

@@ -396,29 +396,24 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
         # and off the layer-to-layer critical path.
         cache_dt = jnp.int8 if spec.quantized else spec.dtype
 
-        def prep_fresh_prefill(k, v):
-            """This step's prefill K/V in the kernel's page-slab form:
-            ([Bp, KVH, Qp, 2*shd] packed rows in cache dtype,
-             [Bp, Qp, scale_lanes] packed scale rows or None,
-             dequantized (k, v) for the XLA reference path)."""
-            kp = k[bd:].reshape(bp, qp, n_kv, hd)
-            vp = v[bd:].reshape(bp, qp, n_kv, hd)
+        def prep_new_kv(k, v):
+            """Full-T packed new-KV rows in the CACHE dtype — the same
+            bytes the end-of-step fused scatter writes, built once per
+            layer so the layer stack carries 1-byte rows instead of bf16
+            k/v pairs (at 7B prefill tiles the bf16 layer stack alone was
+            ~2 GB of HLO temps + a ~1 GB remat copy -> HBM OOM on v5e).
+            Returns (rows [T, KVH, 2*shd], scale rows [T, scale_lanes] or
+            None, (qk, sk, qv, sv) quantized parts for the XLA reference
+            path's dequant or None)."""
             if spec.quantized:
-                qk, sk = kv_ops.quantize_kv(kp, spec.quant_group)
-                qv, sv = kv_ops.quantize_kv(vp, spec.quant_group)
+                qk, sk = kv_ops.quantize_kv(k, spec.quant_group)
+                qv, sv = kv_ops.quantize_kv(v, spec.quant_group)
                 rows = kv_ops.pack_kv_rows(qk, qv, spec)
-                fscale = kv_ops._pack_scale_rows(sk, sv, spec)
-                # the reference path sees the same int8 roundtrip the
-                # kernel dequantizes, keeping both paths bit-comparable
-                kp = kv_ops.dequantize_kv(qk, sk, spec.quant_group,
-                                          compute_dtype)
-                vp = kv_ops.dequantize_kv(qv, sv, spec.quant_group,
-                                          compute_dtype)
-            else:
-                rows = kv_ops.pack_kv_rows(
-                    kp.astype(cache_dt), vp.astype(cache_dt), spec)
-                fscale = None
-            return rows.transpose(0, 2, 1, 3), fscale, kp, vp
+                srows = kv_ops._pack_scale_rows(sk, sv, spec)
+                return rows, srows, (qk, sk, qv, sv)
+            rows = kv_ops.pack_kv_rows(
+                k.astype(cache_dt), v.astype(cache_dt), spec)
+            return rows, None, None
 
         def layer(x, p, li, kv_cache, kv_scale):
             h = rms_norm(x, p["attn_norm"], eps)
@@ -435,7 +430,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 q = apply_rope(q, flat_pos, theta)
                 k = apply_rope(k, flat_pos, theta)
 
-            new_kv = (k, v)
+            rows, srows, qparts = prep_new_kv(k, v)
+            new_kv = (rows, srows)
             sl = kv_scale if spec.quantized else None
             if use_pallas:
                 attn_d = (decode_attn(
@@ -445,7 +441,12 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                     interpret=interpret, alibi=slopes) if bd else
                     jnp.zeros((0, n_q, hd), compute_dtype))
                 if bp:
-                    fslab, fscale, _, _ = prep_fresh_prefill(k, v)
+                    # the deferred-prefill attention input is a slice of
+                    # the same packed rows the scatter will write
+                    fslab = rows[bd:].reshape(
+                        bp, qp, n_kv, -1).transpose(0, 2, 1, 3)
+                    fscale = (srows[bd:].reshape(bp, qp, -1)
+                              if spec.quantized else None)
                     attn_p = prefill_attn(
                         q[bd:].reshape(bp, qp, n_q, hd), kv_cache, sl,
                         pt_prefill, inp.prefill_start, inp.prefill_len,
@@ -460,7 +461,21 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                     spec, layer=li, fresh_k=k[:bd], fresh_v=v[:bd],
                     alibi=slopes)
                 if bp:
-                    _, _, kp, vp = prep_fresh_prefill(k, v)
+                    if spec.quantized:
+                        # the reference path sees the same int8 roundtrip
+                        # the kernel dequantizes — bit-comparable paths
+                        qk, sk, qv, sv = qparts
+                        kp = kv_ops.dequantize_kv(
+                            qk[bd:].reshape(bp, qp, n_kv, hd),
+                            sk[bd:].reshape(bp, qp, n_kv, -1),
+                            spec.quant_group, compute_dtype)
+                        vp = kv_ops.dequantize_kv(
+                            qv[bd:].reshape(bp, qp, n_kv, hd),
+                            sv[bd:].reshape(bp, qp, n_kv, -1),
+                            spec.quant_group, compute_dtype)
+                    else:
+                        kp = k[bd:].reshape(bp, qp, n_kv, hd)
+                        vp = v[bd:].reshape(bp, qp, n_kv, hd)
                     attn_p = attn_ops.prefill_attention_ref(
                         q[bd:].reshape(bp, qp, n_q, hd), kv_cache,
                         kv_scale, pt_prefill, inp.prefill_start,
@@ -488,10 +503,11 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
                 x, p, li, kv_cache, kv_scale)
             new_kvs.append(new_kv)
 
-        ks = jnp.stack([kv[0] for kv in new_kvs])  # [L, T, KVH, hd]
-        vs = jnp.stack([kv[1] for kv in new_kvs])
-        kv_cache, kv_scale = kv_ops.append_kv_block(
-            kv_cache, kv_scale, ks, vs, slots, spec)
+        rows_l = jnp.stack([kv[0] for kv in new_kvs])  # [L,T,KVH,2*shd]
+        srows_l = (jnp.stack([kv[1] for kv in new_kvs])
+                   if spec.quantized else None)
+        kv_cache, kv_scale = kv_ops.append_kv_rows_block(
+            kv_cache, kv_scale, rows_l, srows_l, slots, spec)
 
         x = rms_norm(x, params["final_norm"], eps)
 

@@ -279,9 +279,37 @@ def append_kv_block(cache: jax.Array, scale: Optional[jax.Array],
     (measured 3.8x faster per step on v5e, and the scatter sits off the
     layer-to-layer critical path).
     """
+    if spec.quantized:
+        qk, sk = quantize_kv(ks, spec.quant_group)
+        qv, sv = quantize_kv(vs, spec.quant_group)
+        rows = pack_kv_rows(qk, qv, spec)       # [L, T, KVH, 2*shd] int8
+        srows = _pack_scale_rows(sk, sv, spec)     # [L, T, scale_lanes]
+    else:
+        dt = cache.dtype
+        rows = pack_kv_rows(ks.astype(dt), vs.astype(dt), spec)
+        srows = None
+    return append_kv_rows_block(cache, scale, rows, srows, slots, spec)
+
+
+def append_kv_rows_block(cache: jax.Array, scale: Optional[jax.Array],
+                         rows: jax.Array, srows: Optional[jax.Array],
+                         slots: jax.Array, spec: CacheSpec
+                         ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scatter ALL layers' PRE-PACKED new-KV rows in one fused scatter.
+
+    rows: [L, T, KVH, 2*shd] already in the cache dtype (int8 quantized
+    when the cache is quantized); srows: [L, T, scale_lanes] packed scale
+    rows (None when unquantized).
+
+    The packed-row form is exactly what the layer loop already builds as
+    the deferred-prefill attention input, so carrying IT across the layer
+    stack (instead of bf16 k/v pairs quantized here at the end) keeps the
+    per-step live set at 1 byte/elem: at 7B prefill tiles (T=4128, 32 MHA
+    heads) the bf16 form alone was ~2 GB of HLO temps plus a ~1 GB remat
+    copy — the difference between fitting and OOM on one v5e.
+    """
     kvh, ls_slots, _ = cache.shape
     n_layers = spec.num_layers
-    t = slots.shape[0]
     # [L, T] layer-offset slots, flattened in (l, t) order
     lslots = (jnp.arange(n_layers, dtype=slots.dtype)[:, None]
               * spec.num_slots + slots[None, :])
@@ -291,24 +319,13 @@ def append_kv_block(cache: jax.Array, scale: Optional[jax.Array],
         h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * ls_slots
         return (h + lslots.reshape(-1)[None, :]).reshape(-1)
 
+    flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
+    flat = flat.at[row_ids()].set(
+        rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
+    cache = flat.reshape(cache.shape)
     if spec.quantized:
-        qk, sk = quantize_kv(ks, spec.quant_group)
-        qv, sv = quantize_kv(vs, spec.quant_group)
-        rows = pack_kv_rows(qk, qv, spec)       # [L, T, KVH, 2*shd] int8
-        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
-        flat = flat.at[row_ids()].set(
-            rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
-        cache = flat.reshape(cache.shape)
-        packed = _pack_scale_rows(sk, sv, spec)    # [L, T, scale_lanes]
         scale = scale.at[lslots.reshape(-1)].set(
-            packed.reshape(-1, spec.scale_lanes))
-    else:
-        dt = cache.dtype
-        rows = pack_kv_rows(ks.astype(dt), vs.astype(dt), spec)
-        flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
-        flat = flat.at[row_ids()].set(
-            rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
-        cache = flat.reshape(cache.shape)
+            srows.reshape(-1, spec.scale_lanes))
     return cache, scale
 
 

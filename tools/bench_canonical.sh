@@ -1,0 +1,101 @@
+#!/usr/bin/env bash
+# Canonical throughput benchmark — the BASELINE.json defined metric:
+# output tokens/s/chip + p50 TTFT at --request-rate inf on a ShareGPT-
+# style workload through the gRPC server, reference methodology
+# /root/reference/tools/client_qps_measure.cc:318-350.
+#
+# Pipeline: gen_samples -> llm_server (random weights, i8i8 + int8 KV,
+# Pallas kernels) -> client_qps_measure. Token-in-out mode (like the
+# reference's client_qps_measure_token_in_out) so no real tokenizer
+# files are needed; lengths still come from the tokenized ShareGPT-style
+# texts.
+#
+#   MODEL=tinyllama|7b  EARLY=0|1 (EOS-stopping traffic)  NREQ=256
+#   RATE=inf  PORT=23401  bash tools/bench_canonical.sh
+set -u
+cd "$(dirname "$0")/.."
+
+MODEL=${MODEL:-tinyllama}
+PORT=${PORT:-23401}
+RATE=${RATE:-inf}
+NREQ=${NREQ:-256}
+EARLY=${EARLY:-0}
+TAG=${TAG:-$MODEL}
+SAMPLES=${SAMPLES:-/tmp/samples_canonical.json}
+PARAMS=/tmp/params_canonical_${MODEL}.json
+SERVER_LOG=/tmp/canonical_server_${TAG}.log
+CLIENT_LOG=/tmp/canonical_client_${TAG}.log
+
+if [ "$MODEL" = "tiny" ]; then   # CPU smoke of the whole pipeline
+  cat > "$PARAMS" <<EOF
+{"num_heads": 4, "num_kv_heads": 2, "num_layers": 2,
+ "hidden_dim": 64, "intermediate_dim": 128, "vocab_size": 256,
+ "cache_quant_bit": 0, "cache_quant_group": 1, "cache_layout": 0,
+ "cache_mode": 1, "page_size": 16, "dynamic_batching": true,
+ "auto_causal": true, "dtype": "float32"}
+EOF
+  KV_TOKENS=${KV_TOKENS:-8192}
+  EXTRA="--dtype float32 --max-running-batch 16 --max-prefill-batch 8"
+  BUCKETS="--token-buckets 256,1024 --batch-buckets 8,16"
+  NREQ=${NREQ_OVERRIDE:-8}
+elif [ "$MODEL" = "7b" ]; then
+  cat > "$PARAMS" <<EOF
+{"num_heads": 32, "num_kv_heads": 32, "num_layers": 32,
+ "hidden_dim": 4096, "intermediate_dim": 11008, "vocab_size": 32000,
+ "cache_quant_bit": 8, "cache_quant_group": 8, "cache_layout": 0,
+ "cache_mode": 1, "page_size": 128, "dynamic_batching": true,
+ "auto_causal": true, "dtype": "bfloat16"}
+EOF
+  KV_TOKENS=${KV_TOKENS:-16384}
+  EXTRA="--quantize-lm-head --max-running-batch 64 --max-prefill-batch 32"
+  BUCKETS="--token-buckets 1024,4096 --batch-buckets 32,64"
+else
+  cat > "$PARAMS" <<EOF
+{"num_heads": 32, "num_kv_heads": 4, "num_layers": 22,
+ "hidden_dim": 2048, "intermediate_dim": 5632, "vocab_size": 32000,
+ "cache_quant_bit": 8, "cache_quant_group": 8, "cache_layout": 0,
+ "cache_mode": 1, "page_size": 128, "dynamic_batching": true,
+ "auto_causal": true, "dtype": "bfloat16"}
+EOF
+  KV_TOKENS=${KV_TOKENS:-131072}
+  EXTRA="--max-running-batch 256 --max-prefill-batch 64"
+  BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,256"
+fi
+
+python tools/gen_samples.py --output "$SAMPLES" --count "$NREQ" \
+  --prompt-mean 32 --answer-mean 64 || exit 1
+
+python tools/llm_server.py \
+  --model-format random --model-param-path "$PARAMS" \
+  --tokenizer-type dummy --quant-method online_i8i8 \
+  --kv-cache-max-tokens "$KV_TOKENS" --multi-step 16 \
+  --speculative-blocks 1 --max-tokens-per-step 8192 \
+  --attention-seq-block 8 $BUCKETS $EXTRA \
+  --enable-profiling --disable-log-req \
+  --port "$PORT" > "$SERVER_LOG" 2>&1 &
+SERVER_PID=$!
+trap 'kill $SERVER_PID 2>/dev/null' EXIT
+
+echo "waiting for server (pid $SERVER_PID, log $SERVER_LOG)..."
+for i in $(seq 1 600); do
+  grep -q "listening" "$SERVER_LOG" && break
+  kill -0 $SERVER_PID 2>/dev/null || { tail -5 "$SERVER_LOG"; exit 1; }
+  sleep 2
+done
+grep -q "listening" "$SERVER_LOG" || { echo "server never came up"; exit 1; }
+
+# warm the compiled-shape grid before measuring: one short pass
+ES_FLAG=""
+[ "$EARLY" = "1" ] && ES_FLAG="--early-stopping"
+python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
+  --dataset "$SAMPLES" --num-requests 16 --request-rate inf \
+  --token-in-out $ES_FLAG > /dev/null 2>&1
+
+python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
+  --dataset "$SAMPLES" --num-requests "$NREQ" --request-rate "$RATE" \
+  --token-in-out $ES_FLAG 2>&1 | tee "$CLIENT_LOG"
+
+kill $SERVER_PID 2>/dev/null
+wait $SERVER_PID 2>/dev/null
+trap - EXIT
+echo "done: client log $CLIENT_LOG, server log $SERVER_LOG"

@@ -59,7 +59,8 @@ class Stats:
         self.failed = 0
 
 
-async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out):
+async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out,
+                  early_stopping=False):
     batched = llm_pb2.BatchedRequest()
     req = batched.req.add()
     req.id = rid
@@ -68,7 +69,10 @@ async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out):
     else:
         req.prompt = prompt
     req.stopping_parameters.max_new_tokens = n_out
-    req.stopping_parameters.ignore_eos_token = True
+    # reference parity: --early_stopping defaults false, i.e. the client
+    # normally IGNORES eos (client_qps_measure.cc:32,88); pass
+    # --early-stopping to measure the realistic EOS-stopping path
+    req.stopping_parameters.ignore_eos_token = not early_stopping
     stub = channel.unary_stream(
         GENERATION,
         request_serializer=llm_pb2.BatchedRequest.SerializeToString,
@@ -129,7 +133,7 @@ async def main_async(args):
         for rid, (prompt, n_in, n_out) in enumerate(workload):
             tasks.append(asyncio.create_task(run_one(
                 channel, stats, rid, prompt, n_in, n_out,
-                args.token_in_out)))
+                args.token_in_out, args.early_stopping)))
             if args.request_rate != float("inf"):
                 await asyncio.sleep(rng.expovariate(args.request_rate))
         await asyncio.gather(*tasks)
@@ -177,6 +181,9 @@ def main():
                    default=float("inf"),
                    help="Poisson arrivals per second; inf = all at once")
     p.add_argument("--token-in-out", action="store_true")
+    p.add_argument("--early-stopping", action="store_true",
+                   help="stop on EOS (reference --early_stopping; "
+                        "default ignores EOS like the reference client)")
     args = p.parse_args()
     asyncio.run(main_async(args))
 

@@ -74,6 +74,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sampling-top-k-cap", type=int, default=256,
                    help="candidate cap for top-k/top-p sampling (0 = "
                         "full vocab sort)")
+    p.add_argument("--token-buckets", default="",
+                   help="comma-separated prefill token-count buckets "
+                        "(bounds the compiled-shape grid; default "
+                        "256,512,...,8192)")
+    p.add_argument("--batch-buckets", default="",
+                   help="comma-separated decode batch buckets")
 
 
 def add_generator_args(p: argparse.ArgumentParser) -> None:
@@ -152,6 +158,12 @@ def build_configs(args):
         attention_seq_block=args.attention_seq_block,
         sampling_top_k_cap=args.sampling_top_k_cap,
     )
+    if getattr(args, "token_buckets", ""):
+        resource_cfg.token_buckets = tuple(
+            int(t) for t in args.token_buckets.split(",") if t.strip())
+    if getattr(args, "batch_buckets", ""):
+        resource_cfg.batch_buckets = tuple(
+            int(t) for t in args.batch_buckets.split(",") if t.strip())
     max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch
     gen_cfg = GeneratorConfig(
         top_p=args.top_p,
