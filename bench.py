@@ -200,11 +200,16 @@ def main():
     p50_ttft_ms = ttfts[len(ttfts) // 2] * 1e3 if ttfts else -1
 
     # decode roofline: every decode step reads all weights + the batch's KV
-    wbytes = 1 if variant in ("i8i8", "i8i8_w") else 2  # matmul weights
+    wbytes = (1 if variant in ("i8i8", "i8i8_w")
+              else 0.5 if variant == "w4" else 2)       # matmul weights
     kvbytes = (1 + 2 / model_cfg.cache_quant_group
                if model_cfg.cache_quant_bit == 8 else 2)
+    # lm_head streams fully every decode step (quantized when
+    # --quantize-lm-head); the embedding is a [B]-row gather, not a
+    # stream, so it does not count against the decode roofline
+    head_wbytes = (wbytes if resource_cfg.quantize_lm_head else 2)
     param_bytes = (
-        2 * model_cfg.vocab_size * model_cfg.hidden_dim * 2  # embed+lm_head
+        head_wbytes * model_cfg.vocab_size * model_cfg.hidden_dim
         + wbytes * model_cfg.num_layers * (
             model_cfg.hidden_dim * (model_cfg.num_heads
                                     + 2 * model_cfg.num_kv_heads)

@@ -584,7 +584,11 @@ class LLMGenerator:
         cfg = self.gen_cfg
         self._cooldown = 0
         res = _CheckResult()
-        loop_step = 0
+        # persistent across wake/drain cycles: trace_start_step counts
+        # TOTAL generator steps, not steps within one wake — wave-shaped
+        # workloads drain every ~10 steps and would otherwise never reach
+        # a mid-run trace window
+        loop_step = getattr(self, "_loop_step_total", 0)
         self._trace_active = False
 
         def check_func(lreq: _LlmRequest) -> bool:
@@ -747,6 +751,7 @@ class LLMGenerator:
             prof.accumulate_step()
             prof.pending_task_size = self.sched.get_pending_size()
             loop_step += 1
+            self._loop_step_total = loop_step
 
             if cfg.trace_dir:
                 if loop_step == cfg.trace_start_step:
