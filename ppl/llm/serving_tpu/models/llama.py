@@ -155,26 +155,34 @@ def _make_matmul(quant_method, quant_impl: str = "xla"):
     interp = quant_impl == "pallas_interpret"
     if quant_impl in ("pallas", "pallas_interpret"):
         from ..ops.pallas import quant_matmul as pallas_quant
+        # ``out_dtype``: the Pallas kernels write the consumer's dtype
+        # straight from the VMEM epilogue — returning f32 and converting
+        # outside the kernel costs an HBM round-trip + convert pass that
+        # XLA cannot fuse into a custom call (at 7B prefill tiles ~50 GB
+        # of pure convert traffic per step). XLA paths ignore it: their
+        # converts fuse for free.
         if use_i8i8:
-            def matmul(h, p, name):
+            def matmul(h, p, name, out_dtype=jnp.float32):
                 return pallas_quant.i8i8_matmul_pallas(
-                    h, p[name + "_q"], p[name + "_s"], interpret=interp)
+                    h, p[name + "_q"], p[name + "_s"], interpret=interp,
+                    out_dtype=out_dtype)
             return matmul
         if use_w4:
-            def matmul(h, p, name):
+            def matmul(h, p, name, out_dtype=jnp.float32):
                 return pallas_quant.w4a8_matmul_pallas(
-                    h, p[name + "_q"], p[name + "_s"], interpret=interp)
+                    h, p[name + "_q"], p[name + "_s"], interpret=interp,
+                    out_dtype=out_dtype)
             return matmul
     if use_i8i8:
-        def matmul(h, p, name):
+        def matmul(h, p, name, out_dtype=None):
             return quant_ops.i8i8_matmul(h, p[name + "_q"], p[name + "_s"])
         return matmul
     if use_w4:
-        def matmul(h, p, name):
+        def matmul(h, p, name, out_dtype=None):
             return quant_ops.w4a8_matmul(h, p[name + "_q"], p[name + "_s"])
         return matmul
 
-    def matmul(h, p, name):
+    def matmul(h, p, name, out_dtype=None):
         if p[name].ndim == 2:
             return jnp.dot(h, p[name], preferred_element_type=jnp.float32)
         letters = "kcmn"[: p[name].ndim - 1]
@@ -194,14 +202,14 @@ def _make_gate_up_act(matmul, quantized: bool):
     and axis 2 (the TP-sharded I axis) is untouched so sharding rules
     are identical."""
     if quantized:
-        def gate_up_act(h, p):
+        def gate_up_act(h, p, out_dtype=jnp.float32):
             # fused quantized weight is stored C-leading [2, D, I]; the
             # matmul returns C-leading [2, T, I] (see ops/quant)
-            gu = matmul(h, p, "w_gate_up")          # [2, T, I]
+            gu = matmul(h, p, "w_gate_up", out_dtype=out_dtype)
             return jax.nn.silu(gu[0]) * gu[1]
         return gate_up_act
 
-    def gate_up_act(h, p):
+    def gate_up_act(h, p, out_dtype=None):
         gu = jnp.einsum("td,dci->cti", h, p["w_gate_up"],
                         preferred_element_type=jnp.float32)
         return jax.nn.silu(gu[0]) * gu[1]
@@ -419,7 +427,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             h = rms_norm(x, p["attn_norm"], eps)
             t = x.shape[0]
             g = n_q // n_kv
-            qkv = matmul(h, p, "wqkv").astype(compute_dtype)
+            qkv = matmul(h, p, "wqkv",
+                         out_dtype=compute_dtype).astype(compute_dtype)
             if attn_bias:
                 qkv = qkv + p["bqkv"].astype(compute_dtype)
             # [T, KVH, G+2, hd]
@@ -486,14 +495,15 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
             attn = jnp.concatenate(
                 [attn_d.reshape(bd, n_q * hd),
                  attn_p.reshape(bp * qp, n_q * hd)])
-            o = matmul(attn, p, "wo")
+            o = matmul(attn, p, "wo", out_dtype=compute_dtype)
             if attn_bias:
                 o = o + p["bo"].astype(o.dtype)
             x = x + o.astype(compute_dtype)
 
             h = rms_norm(x, p["ffn_norm"], eps)
-            act = gate_up_act(h, p)
-            down = matmul(act.astype(compute_dtype), p, "w_down")
+            act = gate_up_act(h, p, compute_dtype)
+            down = matmul(act.astype(compute_dtype), p, "w_down",
+                          out_dtype=compute_dtype)
             x = x + down.astype(compute_dtype)
             return x, kv_cache, kv_scale, new_kv
 

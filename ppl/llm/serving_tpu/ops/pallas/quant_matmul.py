@@ -95,7 +95,8 @@ def _kernel(qc, x_ref, w_ref, s_ref, out_ref, xq_ref, xs_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                            # [bt, bn]
-    out_ref[0] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0]
+    out = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0]
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _w4_kernel(group, gc, qc, x_ref, w_ref, s_ref, out_ref, xq_ref,
@@ -152,7 +153,7 @@ def _w4_kernel(group, gc, qc, x_ref, w_ref, s_ref, out_ref, xq_ref,
         )                                                       # [gc,bt,bn]
         acc = acc + (part.astype(jnp.float32)
                      * si[:, None, :]).sum(axis=0)
-    out_ref[0] = acc * xs_ref[:]
+    out_ref[0] = (acc * xs_ref[:]).astype(out_ref.dtype)
 
 
 def _pick_gc(g: int, bt: int, bn: int,
@@ -167,10 +168,11 @@ def _pick_gc(g: int, bt: int, bn: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n",
-                                             "block_t"))
+                                             "block_t", "out_dtype"))
 def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
                        *, interpret: bool = False,
-                       block_n: int = 0, block_t: int = 0) -> jax.Array:
+                       block_n: int = 0, block_t: int = 0,
+                       out_dtype=jnp.float32) -> jax.Array:
     """Drop-in for ``ops.quant.w4a8_matmul`` (same two weight contracts):
 
     - plain: x [T, D] x packed int4 [D//2, ...out], scales [G, ...out]
@@ -222,7 +224,10 @@ def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, bt, bn), lambda i, ci, j: (ci, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, t, n), jnp.float32),
+        # the epilogue runs in f32 in VMEM; writing the consumer's dtype
+        # directly avoids an f32 HBM round-trip + convert pass (at 7B
+        # prefill tiles that pass alone was ~50 GB of traffic per step)
+        out_shape=jax.ShapeDtypeStruct((c, t, n), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((g, bt, group), jnp.int8),
             pltpu.VMEM((bt, 1), jnp.float32),
@@ -230,7 +235,7 @@ def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * t * d * c * n,
             bytes_accessed=d * c * n // 2 + t * d * x.dtype.itemsize
-            + t * c * n * 4,
+            + t * c * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -244,10 +249,11 @@ def w4a8_matmul_pallas(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n",
-                                             "block_t"))
+                                             "block_t", "out_dtype"))
 def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                        *, interpret: bool = False,
-                       block_n: int = 0, block_t: int = 0) -> jax.Array:
+                       block_n: int = 0, block_t: int = 0,
+                       out_dtype=jnp.float32) -> jax.Array:
     """Drop-in for ``ops.quant.i8i8_matmul`` (same two weight contracts):
 
     - plain: x [T, D] x w_q int8 [D, ...out] -> f32 [T, ...out]
@@ -295,7 +301,8 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, bt, bn), lambda i, ci, j: (ci, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, t, n), jnp.float32),
+        # see w4a8: write the consumer's dtype, skip the f32 round-trip
+        out_shape=jax.ShapeDtypeStruct((c, t, n), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((bt, d), jnp.int8),
             pltpu.VMEM((bt, 1), jnp.float32),
@@ -303,7 +310,7 @@ def i8i8_matmul_pallas(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * t * d * c * n,
             bytes_accessed=d * c * n + t * d * x.dtype.itemsize
-            + t * c * n * 4,
+            + t * c * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
         # prefill-sized activation tiles (1024 rows, see _pick_block_t)

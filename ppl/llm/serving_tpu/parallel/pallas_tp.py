@@ -31,6 +31,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kv_cache import CacheSpec
@@ -180,11 +181,15 @@ def make_sharded_quant_matmul(mesh: Mesh, quant_method: str,
         raise ValueError("online_w4a8 does not support tensor parallelism")
     kernel = pallas_quant.i8i8_matmul_pallas
 
-    def matmul(h, p, name):
+    def matmul(h, p, name, out_dtype=jnp.float32):
         w_spec, s_spec, out_spec, h_spec, reduce_tp = _W_SPECS[name]
 
         def inner(hh, wq, ws):
-            out = kernel(hh, wq, ws, interpret=interpret)
+            # row-parallel matmuls psum in the kernel's output dtype —
+            # reference parity: the CUDA engine all-reduces fp16 partials
+            # (NCCL inside ppl.nn RowParallel ops)
+            out = kernel(hh, wq, ws, interpret=interpret,
+                         out_dtype=out_dtype)
             if reduce_tp:
                 out = jax.lax.psum(out, "tp")
             return out

@@ -111,6 +111,22 @@ class TestPallasI8I8Matmul:
     def test_nondivisible_n(self):
         self._check(16, 256, (300,), block_n=128)
 
+    def test_bf16_out_dtype(self):
+        """out_dtype=bf16 (the production layer-matmul setting: skips the
+        f32 HBM round-trip) must equal the f32 result rounded to bf16."""
+        from ppl.llm.serving_tpu.ops.pallas.quant_matmul import (
+            i8i8_matmul_pallas)
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 256),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 256),
+                              jnp.float32) * 0.1
+        wq, ws = Q.quantize_weight(w, contract_axis=0)
+        ref = i8i8_matmul_pallas(x, wq, ws, interpret=True)
+        out = i8i8_matmul_pallas(x, wq, ws, interpret=True,
+                                 out_dtype=jnp.bfloat16)
+        assert out.dtype == jnp.bfloat16
+        assert jnp.array_equal(out, ref.astype(jnp.bfloat16))
+
     def test_zero_rows(self):
         self._check(8, 256, (128,))
 
