@@ -61,11 +61,11 @@ from ..kv_cache import CacheSpec
 _NEG_INF = -1e30
 
 
-def _expand_matrix(spec: CacheSpec):
+def _expand_matrix(spec: CacheSpec, dt=jnp.float32):
     """[2G, 2*shd] one-hot for packed-row dequant: row i < G covers the
     K half's group i lanes, row G+i the V half's group i lanes. Padding
     lanes (>= head_dim within a half) match no group and dequantize
-    to 0."""
+    to 0. ``dt`` doubles as the kernel's compute dtype (_dequant_row)."""
     ng, group = spec.scale_groups, spec.quant_group
     shd, lanes = spec.shd, spec.row_lanes
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (2 * ng, lanes), 0)
@@ -74,7 +74,7 @@ def _expand_matrix(spec: CacheSpec):
     j_half = jnp.where(in_v, iota_j - shd, iota_j)
     target = jnp.where(in_v, ng + j_half // group, j_half // group)
     valid = j_half < spec.head_dim
-    return ((target == iota_i) & valid).astype(jnp.float32)
+    return ((target == iota_i) & valid).astype(dt)
 
 
 def _dequant_row(vals, s_slab, h: int, spec: CacheSpec, expand):
@@ -84,13 +84,21 @@ def _dequant_row(vals, s_slab, h: int, spec: CacheSpec, expand):
     Lane order of the scale rows is (head, k|v, group) — head h's k AND
     v group scales are the contiguous ``2*scale_groups`` lanes starting
     at ``h * scale_lane_stride``, so one slice + one one-hot matmul
-    dequantizes the whole packed row."""
+    dequantizes the whole packed row.
+
+    ``dt`` is bf16 on the production path: the f32 form made dequant the
+    decode bottleneck at MHA geometry (LLaMA-7B, 32 kv heads: ~33 MB of
+    f32 intermediates per page phase; decode attention traced at 6.7 ms
+    of the 21 ms step, 2026-08-19). bf16 halves the VPU bytes and the
+    scores ride the MXU's native bf16 path; int8-quantization error
+    dominates the bf16 rounding by an order of magnitude."""
     off = h * spec.scale_lane_stride
-    s = s_slab[:, off: off + 2 * spec.scale_groups].astype(jnp.float32)
+    s = s_slab[:, off: off + 2 * spec.scale_groups].astype(expand.dtype)
     s_full = jax.lax.dot_general(
         s, expand, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [ps, 2*shd]
-    return vals.astype(jnp.float32) * s_full
+    dt = expand.dtype
+    return vals.astype(dt) * s_full.astype(dt)
 
 
 def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
@@ -116,7 +124,12 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
     ps = spec.page_size
     base = pl.program_id(0) * seq_blk
     quant = spec.quantized
-    expand = _expand_matrix(spec) if quant else None
+    # compute dtype follows spec.dtype: f32 specs (CPU tests, exactness
+    # vs the XLA reference) keep f32 math; production bf16 specs run the
+    # data path in bf16 (see _dequant_row — the f32 path was the decode
+    # bottleneck at MHA geometry)
+    dt = (jnp.float32 if spec.dtype == jnp.float32 else jnp.bfloat16)
+    expand = _expand_matrix(spec, dt) if quant else None
     li = layer_ref[0]
 
     ctxs_t = [ctx_ref[base + j] for j in range(seq_blk)]   # incl. current
@@ -158,8 +171,9 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
     def _():
         # [seq_blk, Hq, hd] -> [seq_blk*KVH, G, hd] (true head_dim; no
         # lane padding — the packed-row k half is sliced to match)
-        q = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, hd)
-        q = q * (hd ** -0.5)
+        q32 = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, hd)
+        q32 = q32 * (hd ** -0.5)
+        q = q32.astype(dt)
 
         @pl.when(max_ctx > 0)
         def _():
@@ -193,7 +207,7 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                                  h, spec, expand)[None]
                     for j in range(seq_blk) for h in range(kvh)])
             else:
-                rows = kv_buf[slot].astype(jnp.float32).reshape(
+                rows = kv_buf[slot].astype(dt).reshape(
                     seq_blk * kvh, ps, 2 * shd)
             k = rows[..., :hd]
             v = rows[..., shd:shd + hd]
@@ -224,8 +238,10 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
             p_exp = jnp.exp(s - m_new[..., None])
             p_exp = jnp.where(valid, p_exp, 0.0)
             l_new = l * alpha + jnp.sum(p_exp, axis=-1)
+            # p rides in the compute dtype for the MXU dot; the
+            # accumulator stays f32 (standard flash-attention practice)
             pv = jax.lax.dot_general(
-                p_exp, v, (((2,), (1,)), ((0,), (0,))),
+                p_exp.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
@@ -244,7 +260,7 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
                 seq_blk * kvh, 1, hd)
             fv = fv_ref[...].astype(jnp.float32).reshape(
                 seq_blk * kvh, 1, hd)
-            s_self = jnp.sum(q * fk, axis=-1)            # [sb*KVH, G]
+            s_self = jnp.sum(q32 * fk, axis=-1)          # [sb*KVH, G]
             if has_alibi:
                 slopes = jnp.concatenate(
                     [slopes_ref[:]] * seq_blk, axis=0)   # [sb*KVH, G]
@@ -292,7 +308,9 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
     g = num_q_heads // kvh
     ps = spec.page_size
     quant = spec.quantized
-    expand = _expand_matrix(spec) if quant else None
+    # compute dtype follows spec.dtype (see _decode_kernel)
+    dt = (jnp.float32 if spec.dtype == jnp.float32 else jnp.bfloat16)
+    expand = _expand_matrix(spec, dt) if quant else None
     li = layer_ref[0]
     start = start_ref[b]
     new_len = newlen_ref[b]
@@ -359,7 +377,7 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
         q = q_ref[0].astype(jnp.float32)
         q = q.reshape(q_blk, kvh, g, hd).transpose(1, 2, 0, 3).reshape(
             kvh, g * q_blk, hd)
-        q = q * (hd ** -0.5)
+        q = (q * (hd ** -0.5)).astype(dt)
         # row j of the [G*q_blk] flattened block is (g=j//q_blk,
         # i=j%q_blk); its absolute position is q0 + i
         i_in_blk = jax.lax.broadcasted_iota(
@@ -384,7 +402,7 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
                                  h, spec, expand)[None]
                     for h in range(kvh)])            # [KVH, ps, 2*shd]
             else:
-                rows = kv_buf[slot].astype(jnp.float32)
+                rows = kv_buf[slot].astype(dt)
             k = rows[..., :hd]
             v = rows[..., shd:shd + hd]
 
@@ -405,8 +423,9 @@ def _prefill_kernel(spec: CacheSpec, num_q_heads: int, q_blk: int,
             p_exp = jnp.exp(s - m_new[..., None])
             p_exp = jnp.where(mask, p_exp, 0.0)
             l_new = l * alpha + jnp.sum(p_exp, axis=-1)
+            # p in the compute dtype for the MXU dot; accumulator f32
             pv = jax.lax.dot_general(
-                p_exp, v, (((2,), (1,)), ((0,), (0,))),
+                p_exp.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             return acc * alpha[..., None] + pv, m_new, l_new
 
