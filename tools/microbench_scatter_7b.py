@@ -114,6 +114,64 @@ def main():
     print(f"e) dyn-update-slice upper bnd : {t_e*1e3:8.3f} ms/step",
           flush=True)
 
+    # The isolated scatter measured 23 us/step, yet the production block
+    # program shows 2.6 ms full-cache sweeps. Reproduce the block
+    # structure to find the trigger: chained scatters, and scatters
+    # interleaved with a pallas_call reading the cache (the attention
+    # kernels take it in ANY memory space — XLA cannot see their
+    # aliasing and may copy conservatively).
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def read_kernel(c_ref, o_ref, buf, sem):
+        pltpu.make_async_copy(c_ref.at[:, pl.ds(0, PS), :], buf,
+                              sem).start()
+        pltpu.make_async_copy(c_ref.at[:, pl.ds(0, PS), :], buf,
+                              sem).wait()
+        o_ref[...] = buf[:, :8, :].astype(jnp.float32)
+
+    def pallas_read(cache):
+        return pl.pallas_call(
+            read_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((KVH, 8, R), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((KVH, PS, R), jnp.int8),
+                            pltpu.SemaphoreType.DMA],
+        )(cache)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained(cache, rows_l, slots):
+        for i in range(STEPS):
+            ids = ids_kvh_major(slots + i)
+            flat = cache.reshape(KVH * L * S, R)
+            flat = flat.at[ids].set(
+                rows_l.transpose(2, 0, 1, 3).reshape(-1, R))
+            cache = flat.reshape(cache.shape)
+        return cache
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained_with_read(cache, rows_l, slots):
+        outs = []
+        for i in range(STEPS):
+            outs.append(pallas_read(cache))
+            ids = ids_kvh_major(slots + i)
+            flat = cache.reshape(KVH * L * S, R)
+            flat = flat.at[ids].set(
+                rows_l.transpose(2, 0, 1, 3).reshape(-1, R))
+            cache = flat.reshape(cache.shape)
+        return cache, jnp.stack(outs).sum()
+
+    cache = jnp.zeros((KVH, L * S, R), jnp.int8)
+    t_f = timeit(lambda c: chained(c, rows_l, slots), cache, n=10)
+    print(f"f) 16 chained scatters        : {t_f/STEPS*1e3:8.3f} ms/step",
+          flush=True)
+    cache = jnp.zeros((KVH, L * S, R), jnp.int8)
+    t_g = timeit(lambda c: chained_with_read(c, rows_l, slots), cache,
+                 n=10)
+    print(f"g) chained + pallas ANY read  : {t_g/STEPS*1e3:8.3f} ms/step",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
