@@ -63,7 +63,10 @@ def main():
             hidden_dim=4096, intermediate_dim=11008, num_layers=32,
             num_heads=32, num_kv_heads=32, vocab_size=32000,
             cache_mode=1, page_size=128, dtype="bfloat16")
-        batch, prompt_len, gen_len = 32, 128, 128
+        # b48 fits the 16k-token pool (48 x 256 = 12288); weights dominate
+        # decode bytes at 7B, so throughput is ~linear in batch here
+        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        prompt_len, gen_len = 128, 128
         # 32 kv heads -> 16k tokens ~ 5.4 GB int8 incl. scales
         kv_tokens = int(os.environ.get("BENCH_KV_TOKENS", 16 * 1024))
         variant = "i8i8" if variant == "i8i8_7b" else "w4"

@@ -172,6 +172,26 @@ def main():
     print(f"g) chained + pallas ANY read  : {t_g/STEPS*1e3:8.3f} ms/step",
           flush=True)
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chained_read_after(cache, rows_l, slots):
+        # production order: each pallas read depends on the PREVIOUS
+        # scatter (true data dependency through the opaque custom call)
+        outs = []
+        for i in range(STEPS):
+            ids = ids_kvh_major(slots + i)
+            flat = cache.reshape(KVH * L * S, R)
+            flat = flat.at[ids].set(
+                rows_l.transpose(2, 0, 1, 3).reshape(-1, R))
+            cache = flat.reshape(cache.shape)
+            outs.append(pallas_read(cache))
+        return cache, jnp.stack(outs).sum()
+
+    cache = jnp.zeros((KVH, L * S, R), jnp.int8)
+    t_h = timeit(lambda c: chained_read_after(c, rows_l, slots), cache,
+                 n=10)
+    print(f"h) scatter -> read -> scatter : {t_h/STEPS*1e3:8.3f} ms/step",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
