@@ -103,7 +103,12 @@ def main():
         attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),
     )
     gen_cfg = GeneratorConfig(
-        max_running_batch=4 * batch, max_prefill_batch=batch,
+        max_running_batch=4 * batch,
+        # large-batch 7B prefill programs can exceed HBM (b48 x 128
+        # tokens of per-layer activation temps); splitting the prefill
+        # wave bounds the per-step tile
+        max_prefill_batch=int(
+            os.environ.get("BENCH_MAX_PREFILL_BATCH", batch)),
         max_tokens_per_step=max(8192, batch * prompt_len),
         max_input_tokens_per_request=4096,
         max_output_tokens_per_request=4096,

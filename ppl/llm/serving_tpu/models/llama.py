@@ -387,8 +387,16 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
         ])
         slots = kv_ops.token_slots(inp.page_table, flat_pos, flat_rows,
                                    spec.page_size)                  # i32[T]
-        slots = jnp.where(valid_flat, slots,
-                          spec.trash_page * spec.page_size)
+        # spread padding rows across the trash page so decode-step slot
+        # vectors (T <= page_size) are strictly UNIQUE — that lets the
+        # fused scatter claim unique_indices, without which XLA lowered
+        # it as a full-cache select sweep at 7B geometry (2.6 ms/step on
+        # a 4.3 GB pool, traced 2026-08-19; 0.03 ms as a sparse scatter)
+        t_flat = flat_tokens.shape[0]
+        trash = (spec.trash_page * spec.page_size
+                 + jnp.arange(t_flat, dtype=jnp.int32) % spec.page_size)
+        slots = jnp.where(valid_flat, slots, trash)
+        slots_unique = t_flat <= spec.page_size
 
         pt_decode = inp.page_table[:bd]
         pt_prefill = inp.page_table[bd:]
@@ -517,7 +525,8 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
         srows_l = (jnp.stack([kv[1] for kv in new_kvs])
                    if spec.quantized else None)
         kv_cache, kv_scale = kv_ops.append_kv_rows_block(
-            kv_cache, kv_scale, rows_l, srows_l, slots, spec)
+            kv_cache, kv_scale, rows_l, srows_l, slots, spec,
+            unique=slots_unique)
 
         x = rms_norm(x, params["final_norm"], eps)
 

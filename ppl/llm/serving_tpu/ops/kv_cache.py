@@ -293,7 +293,8 @@ def append_kv_block(cache: jax.Array, scale: Optional[jax.Array],
 
 def append_kv_rows_block(cache: jax.Array, scale: Optional[jax.Array],
                          rows: jax.Array, srows: Optional[jax.Array],
-                         slots: jax.Array, spec: CacheSpec
+                         slots: jax.Array, spec: CacheSpec,
+                         unique: bool = False
                          ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scatter ALL layers' PRE-PACKED new-KV rows in one fused scatter.
 
@@ -319,13 +320,19 @@ def append_kv_rows_block(cache: jax.Array, scale: Optional[jax.Array],
         h = jnp.arange(kvh, dtype=slots.dtype)[:, None] * ls_slots
         return (h + lslots.reshape(-1)[None, :]).reshape(-1)
 
+    # ``unique`` (caller-guaranteed distinct slots, incl. spread trash
+    # rows): the hints let XLA use the sparse in-place scatter path. At
+    # 7B geometry the unhinted scatter lowered as a full 4.3 GB cache
+    # select-sweep per step (traced 2.6 ms vs 0.03 ms sparse).
+    kw = (dict(unique_indices=True, mode="promise_in_bounds")
+          if unique else {})
     flat = cache.reshape(kvh * ls_slots, spec.row_lanes)
     flat = flat.at[row_ids()].set(
-        rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes))
+        rows.transpose(2, 0, 1, 3).reshape(-1, spec.row_lanes), **kw)
     cache = flat.reshape(cache.shape)
     if spec.quantized:
         scale = scale.at[lslots.reshape(-1)].set(
-            srows.reshape(-1, spec.scale_lanes))
+            srows.reshape(-1, spec.scale_lanes), **kw)
     return cache, scale
 
 
