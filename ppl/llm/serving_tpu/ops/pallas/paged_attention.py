@@ -102,12 +102,13 @@ def _dequant_row(vals, s_slab, h: int, spec: CacheSpec, expand):
 
 
 def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
-                   has_alibi: bool, deferred: bool,
-                   layer_ref, pt_ref, ctx_ref,       # scalar prefetch
+                   has_alibi: bool, deferred: bool, tail: bool,
+                   layer_ref, pt_ref, ctx_ref, tlen_ref,  # scalar prefetch
                    q_ref, cache_ref, scale_ref,
-                   slopes_ref, fk_ref, fv_ref,       # inputs
+                   slopes_ref, fk_ref, fv_ref,
+                   tkv_ref, ts_ref,                  # inputs
                    o_ref,                            # output
-                   kv_buf, s_buf, sem):
+                   kv_buf, s_buf, sem, t_buf, ts_buf, t_sem):
     """Each program handles ``seq_blk`` sequences: every page phase fires
     the whole block's slab DMAs before waiting, so seq_blk copies overlap
     (a one-sequence-per-program grid is DMA-latency-bound: TPU grids run
@@ -118,6 +119,16 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
     the forward); ``fk/fv`` carry it and enter the online softmax as an
     explicit self-term. ``ctx_ref`` still counts the kv length INCLUDING
     the current token — the cache holds ctx-1.
+
+    ``tail``: block-tail mode — the cache is ``tlen_ref[0]`` MORE tokens
+    behind (a multi-step decode block scatters once per block, not per
+    step; the block's earlier tokens live in ``tkv_ref``
+    [L, B, KVH, J, 2*shd] packed rows + ``ts_ref`` [L, B, J, scale_lanes]
+    scale rows). They join the online softmax as one extra J-wide phase
+    read from a dense side buffer. Motivation: at 7B geometry the
+    per-step scatter lowered as a full 4.3 GB cache sweep (2.6 ms/step,
+    traced 2026-08-19); once per block amortizes it 16x regardless of
+    XLA's scatter lowering.
     """
     kvh, hd, shd = spec.num_kv_heads, spec.head_dim, spec.shd
     g = num_q_heads // kvh
@@ -131,10 +142,11 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
     dt = (jnp.float32 if spec.dtype == jnp.float32 else jnp.bfloat16)
     expand = _expand_matrix(spec, dt) if quant else None
     li = layer_ref[0]
+    tlen = tlen_ref[0] if tail else 0
 
     ctxs_t = [ctx_ref[base + j] for j in range(seq_blk)]   # incl. current
     # cached-token counts (what the page loop walks)
-    ctxs = ([jnp.maximum(c - 1, 0) for c in ctxs_t] if deferred
+    ctxs = ([jnp.maximum(c - 1 - tlen, 0) for c in ctxs_t] if deferred
             else ctxs_t)
     max_ctx = functools.reduce(jnp.maximum, ctxs)
     max_ctx_t = functools.reduce(jnp.maximum, ctxs_t)
@@ -174,6 +186,19 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
         q32 = q_ref[...].astype(jnp.float32).reshape(seq_blk * kvh, g, hd)
         q32 = q32 * (hd ** -0.5)
         q = q32.astype(dt)
+
+        if tail:
+            # the block-tail slab rides one DMA per program, fired early
+            # so it lands behind the page walk. Unconditional: at
+            # tlen == 0 (block step 0) the buffer holds finite zeros and
+            # the all-false tail mask makes the phase a no-op.
+            pltpu.make_async_copy(
+                tkv_ref.at[li, pl.ds(base, seq_blk)], t_buf,
+                t_sem.at[0]).start()
+            if quant:
+                pltpu.make_async_copy(
+                    ts_ref.at[li, pl.ds(base, seq_blk)], ts_buf,
+                    t_sem.at[1]).start()
 
         @pl.when(max_ctx > 0)
         def _():
@@ -252,6 +277,50 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
         acc, m, l = jax.lax.fori_loop(0, n_pages, body, (acc0, m0, l0),
                                       unroll=False)
 
+        if tail:
+            jt = t_buf.shape[2]
+            pltpu.make_async_copy(
+                tkv_ref.at[li, pl.ds(0, seq_blk)], t_buf,
+                t_sem.at[0]).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    ts_ref.at[li, pl.ds(0, seq_blk)], ts_buf,
+                    t_sem.at[1]).wait()
+                trows = jnp.concatenate([
+                    _dequant_row(t_buf[j_, h], ts_buf[j_],
+                                 h, spec, expand)[None]
+                    for j_ in range(seq_blk) for h in range(kvh)])
+            else:
+                trows = t_buf[...].astype(dt).reshape(
+                    seq_blk * kvh, jt, 2 * shd)
+            tk = trows[..., :hd]
+            tv = trows[..., shd:shd + hd]
+            s_t = jax.lax.dot_general(
+                q, tk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [sb*KVH, G, J]
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, jt), 2)
+            if has_alibi:
+                slopes_t = jnp.concatenate(
+                    [slopes_ref[:]] * seq_blk, axis=0)
+                k_pos = (ctx_b + j_iota).astype(jnp.float32)
+                s_t = s_t + slopes_t[..., None] * k_pos
+            # every live row in a decode block has advanced exactly tlen
+            # steps, so its valid tail count IS tlen; padding rows read
+            # finite garbage whose output the host discards (same
+            # contract as the self-term)
+            valid = j_iota < tlen
+            s_t = jnp.where(valid, s_t, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s_t, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            p_t = jnp.exp(s_t - m_new[..., None])
+            p_t = jnp.where(valid, p_t, 0.0)
+            l = l * alpha + jnp.sum(p_t, axis=-1)
+            pv = jax.lax.dot_general(
+                p_t.astype(dt), tv, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha[..., None] + pv
+            m = m_new
+
         if deferred:
             # self-term: the current token's K/V (not yet in the cache)
             # joins the online softmax as one extra key. Its position is
@@ -264,8 +333,9 @@ def _decode_kernel(spec: CacheSpec, num_q_heads: int, seq_blk: int,
             if has_alibi:
                 slopes = jnp.concatenate(
                     [slopes_ref[:]] * seq_blk, axis=0)   # [sb*KVH, G]
-                s_self = s_self + slopes * ctx_b[:, :, 0].astype(
-                    jnp.float32)
+                # current position = cached + tail length (ctx_t - 1)
+                s_self = s_self + slopes * (
+                    ctx_b[:, :, 0] + tlen).astype(jnp.float32)
             m_new = jnp.maximum(m, s_self)
             alpha = jnp.exp(m - m_new)
             p_self = jnp.exp(s_self - m_new)
@@ -463,6 +533,9 @@ def paged_decode_attention(
     seq_block: int = 4,
     interpret: bool = False,
     alibi: Optional[jax.Array] = None,   # f32[num_q_heads] slopes
+    tail_kv: Optional[jax.Array] = None,  # [L, B, KVH, J, 2*shd] packed
+    tail_scale: Optional[jax.Array] = None,  # [L, B, J, scale_lanes]
+    tail_len: Optional[jax.Array] = None,    # i32[1]
 ) -> jax.Array:
     """Decode attention over the paged cache; one new token per row.
 
@@ -470,6 +543,11 @@ def paged_decode_attention(
     ``context_len - 1`` tokens and the current token's K/V enters as a
     self-term (see ops.kv_cache.append_kv_block). The layer index rides
     scalar prefetch so all layers share one compiled kernel.
+
+    ``tail_kv/tail_scale/tail_len`` given = block-tail mode (requires
+    deferred): the cache is ``tail_len`` further tokens behind; the
+    block's own earlier tokens stream from the dense side buffer (one
+    cache scatter per multi-step block instead of per step).
     """
     b, num_q_heads, hd = q.shape
     if scale is None or scale.ndim != 2:
@@ -481,15 +559,28 @@ def paged_decode_attention(
     g = num_q_heads // kvh
     has_alibi = alibi is not None
     deferred = fresh_k is not None
+    tail = tail_kv is not None
+    assert not tail or deferred, "block-tail mode requires deferred"
     slopes = (alibi.astype(jnp.float32).reshape(kvh, g) if has_alibi
               else jnp.zeros((kvh, g), jnp.float32))
     if not deferred:
         fresh_k = jnp.zeros((b, kvh, hd), q.dtype)
         fresh_v = jnp.zeros((b, kvh, hd), q.dtype)
+    if tail:
+        jt = tail_kv.shape[3]
+        if tail_scale is None:
+            tail_scale = jnp.zeros(
+                (tail_kv.shape[0], b, jt, 128), jnp.bfloat16)
+    else:
+        jt = 1
+        tail_kv = jnp.zeros((1, seq_block, kvh, 1, spec.row_lanes),
+                            cache.dtype)
+        tail_scale = jnp.zeros((1, seq_block, 1, 128), jnp.bfloat16)
+        tail_len = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_decode_kernel, spec, num_q_heads, seq_block,
-                               has_alibi, deferred)
+                               has_alibi, deferred, tail)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b // seq_block,),
         in_specs=[
             pl.BlockSpec((seq_block, num_q_heads, hd),
@@ -504,6 +595,8 @@ def paged_decode_attention(
             pl.BlockSpec((seq_block, kvh, hd),      # fresh v
                          lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # block tail rows
+            pl.BlockSpec(memory_space=pltpu.ANY),   # block tail scales
         ],
         out_specs=pl.BlockSpec((seq_block, num_q_heads, hd),
                                lambda i, *_: (i, 0, 0),
@@ -515,6 +608,12 @@ def paged_decode_attention(
                         spec.scale_lanes if spec.quantized else 128),
                        jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, seq_block, 2)),
+            pltpu.VMEM((seq_block, kvh, jt, spec.row_lanes) if tail
+                       else (1, 1, 1, 128), cache.dtype),
+            pltpu.VMEM((seq_block, jt,
+                        spec.scale_lanes if spec.quantized else 128)
+                       if tail else (1, 1, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -526,7 +625,8 @@ def paged_decode_attention(
         ),
         interpret=interpret,
     )(jnp.asarray([layer], jnp.int32), page_table, context_len,
-      q, cache, scale, slopes, fresh_k, fresh_v)
+      jnp.asarray(tail_len, jnp.int32).reshape(1),
+      q, cache, scale, slopes, fresh_k, fresh_v, tail_kv, tail_scale)
 
 
 def paged_prefill_attention(

@@ -68,7 +68,9 @@ def sharded_decode_attention(mesh: Mesh, q, cache, scale, page_table,
                              context_len, spec: CacheSpec, *, layer: int,
                              fresh_k, fresh_v, seq_block: int = 4,
                              interpret: bool = False,
-                             alibi: Optional[jax.Array] = None):
+                             alibi: Optional[jax.Array] = None,
+                             tail_kv=None, tail_scale=None,
+                             tail_len=None):
     """paged_decode_attention over a kv-head-sharded mesh."""
     from ..ops.pallas import paged_attention as pallas_attn
 
@@ -77,30 +79,50 @@ def sharded_decode_attention(mesh: Mesh, q, cache, scale, page_table,
     spec_l = local_cache_spec(spec, mesh)
     quant = spec.quantized
     has_alibi = alibi is not None
+    tail = tail_kv is not None
 
-    def inner(q, cache, scale, pt, ctx, fk, fv, al):
+    def inner(q, cache, scale, pt, ctx, fk, fv, al, tkv, ts, tl):
         return pallas_attn.paged_decode_attention(
             q, cache, scale if quant else None, pt, ctx, spec_l,
             layer=layer, fresh_k=fk, fresh_v=fv, seq_block=seq_block,
-            interpret=interpret, alibi=al if has_alibi else None)
+            interpret=interpret, alibi=al if has_alibi else None,
+            tail_kv=tkv if tail else None,
+            tail_scale=(ts if tail and quant else None),
+            tail_len=tl if tail else None)
 
     if scale is None or getattr(scale, "ndim", 0) != 2:
-        import jax.numpy as jnp
         scale = jnp.zeros((1, 128), jnp.bfloat16)
         scale_spec = P(None, None)
     else:
         scale_spec = P(None, "tp")
     if alibi is None:
-        import jax.numpy as jnp
         alibi = jnp.zeros((q.shape[1],), jnp.float32)
+    if tail:
+        # rows [L, B, KVH, J, lanes]: kv heads shard; scale rows'
+        # lane order is head-major, so the lane axis shards like the
+        # main packed scale rows
+        tkv_spec = P(None, None, "tp", None, None)
+        ts_spec = P(None, None, None, "tp")
+        if tail_scale is None:
+            tail_scale = jnp.zeros((1, 1, 1, 128), jnp.bfloat16)
+            ts_spec = P(None, None, None, None)
+        tl = jnp.asarray(tail_len, jnp.int32).reshape(1)
+    else:
+        tail_kv = jnp.zeros((1, 1, 1, 1, 128), cache.dtype)
+        tail_scale = jnp.zeros((1, 1, 1, 128), jnp.bfloat16)
+        tkv_spec = P(None, None, None, None, None)
+        ts_spec = P(None, None, None, None)
+        tl = jnp.zeros((1,), jnp.int32)
     return jax.shard_map(
         inner, mesh=mesh,
         in_specs=(P(None, "tp", None), P("tp", None, None), scale_spec,
                   P(None, None), P(None), P(None, "tp", None),
-                  P(None, "tp", None), P("tp")),
+                  P(None, "tp", None), P("tp"), tkv_spec, ts_spec,
+                  P(None)),
         out_specs=P(None, "tp", None),
         check_vma=False,  # pallas_call carries no vma info
-    )(q, cache, scale, page_table, context_len, fresh_k, fresh_v, alibi)
+    )(q, cache, scale, page_table, context_len, fresh_k, fresh_v, alibi,
+      tail_kv, tail_scale, tl)
 
 
 def sharded_prefill_attention(mesh: Mesh, q, cache, scale, page_table,

@@ -359,3 +359,49 @@ def test_reactive_continuation_with_early_stopping():
         finally:
             gen.shutdown()
     assert results[0] == results[1]
+
+
+def _build_pallas(multi_step, quant_kv=False):
+    mkw = (dict(cache_quant_bit=8, cache_quant_group=8) if quant_kv
+           else {})
+    return build(
+        model_cfg=make_model_cfg(**mkw),
+        resource_kw=dict(multi_step=multi_step,
+                         attention_impl="pallas_interpret",
+                         attention_seq_block=2))
+
+
+def test_block_tail_pallas_matches_single():
+    """Block-tail mode (pallas: one cache scatter per block, the block's
+    own K/V streaming from the dense side buffer) must produce the same
+    greedy tokens as the per-step loop."""
+    gen1, conn1 = _build_pallas(1)
+    gen8, conn8 = _build_pallas(8)
+    try:
+        reqs = [req(i, prompt=f"tail equivalence {i}", gen_len=20)
+                for i in range(3)]
+        run(gen1, conn1, list(reqs), timeout=600)
+        reqs = [req(i, prompt=f"tail equivalence {i}", gen_len=20)
+                for i in range(3)]
+        run(gen8, conn8, list(reqs), timeout=600)
+        for i in range(3):
+            assert conn1.tokens[i] == conn8.tokens[i], i
+    finally:
+        gen1.shutdown()
+        gen8.shutdown()
+
+
+def test_block_tail_pallas_matches_single_int8_kv():
+    """Same with the int8-quantized cache: tail rows carry packed int8 +
+    scale rows, bit-identical to what the block-end scatter writes."""
+    gen1, conn1 = _build_pallas(1, quant_kv=True)
+    gen8, conn8 = _build_pallas(8, quant_kv=True)
+    try:
+        run(gen1, conn1, [req(1, prompt="quantized tail", gen_len=20)],
+            timeout=600)
+        run(gen8, conn8, [req(1, prompt="quantized tail", gen_len=20)],
+            timeout=600)
+        assert conn1.tokens[1] == conn8.tokens[1]
+    finally:
+        gen1.shutdown()
+        gen8.shutdown()
