@@ -14,10 +14,56 @@ against (BASELINE.md).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _probe_backend(retries=3, delay=45, timeout=240):
+    """Probe backend availability in a SUBPROCESS with bounded retries.
+
+    jax caches backend-init failure in-process, so a bare
+    ``jax.default_backend()`` that throws once (e.g. the axon TPU tunnel
+    is down at capture time — this killed the round-2 driver capture,
+    BENCH_r02.json rc=1) cannot be retried in this process. Probe in a
+    child; if the backend never comes up, fall back to a CPU smoke run so
+    the capture still yields one parseable JSON line.
+    """
+    last_err = ""
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip(), ""
+            last_err = (r.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            last_err = last_err[0][-200:]
+        except subprocess.TimeoutExpired:
+            last_err = f"backend probe timed out after {timeout}s"
+        except Exception as e:  # noqa: BLE001 - must never crash the bench
+            last_err = repr(e)[:200]
+        print(f"[bench] backend probe attempt {attempt + 1}/{retries} "
+              f"failed: {last_err}", file=sys.stderr, flush=True)
+        if attempt + 1 < retries:
+            time.sleep(delay)
+    return None, last_err
+
+
+_BACKEND_ERROR = ""
+if not os.environ.get("PPL_PLATFORM"):
+    _probed, _BACKEND_ERROR = _probe_backend(
+        retries=int(os.environ.get("BENCH_PROBE_RETRIES", "3")),
+        delay=int(os.environ.get("BENCH_PROBE_DELAY", "45")),
+        timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "240")))
+    if _probed is None:
+        # TPU unreachable: degrade to the CPU smoke config instead of
+        # crashing, and surface the error in the JSON output.
+        os.environ["PPL_PLATFORM"] = "cpu"
+        _BACKEND_ERROR = f"backend unavailable: {_BACKEND_ERROR}"
 
 import jax
 
@@ -242,8 +288,17 @@ def main():
         "elapsed_s": round(elapsed, 2),
         "roofline_tokens_per_sec": round(roofline_tps, 1),
         "backend": jax.default_backend(),
+        **({"error": _BACKEND_ERROR} if _BACKEND_ERROR else {}),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - capture must stay parseable
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({"metric": "output_tokens_per_sec_per_chip",
+                          "value": 0, "unit": "tokens/s",
+                          "vs_baseline": 0,
+                          "error": f"{type(e).__name__}: {e}"[:300]}))
