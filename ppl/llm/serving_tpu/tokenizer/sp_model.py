@@ -174,10 +174,14 @@ class SPModel:
         return self.pieces[i][0]
 
     def _normalize(self, text: str) -> str:
+        # sentencepiece prepends the dummy-prefix space UNCONDITIONALLY
+        # (normalizer.cc): " x" normalizes to "▁▁x", not "▁x".
+        # Cross-validated against HF tokenizers' llama-style pipeline
+        # (Prepend("▁") + Replace(" ", "▁")) in tests/test_sp_crossval.py.
+        if self.add_dummy_prefix and text:
+            text = " " + text
         if self.escape_whitespaces:
             text = text.replace(" ", SP_SPACE)
-        if self.add_dummy_prefix and text and not text.startswith(SP_SPACE):
-            text = SP_SPACE + text
         return text
 
     def encode(self, text: str) -> List[int]:
