@@ -147,6 +147,7 @@ def main():
             os.environ.get("BENCH_QUANT_LM_HEAD", "0"))),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
         attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),
+        block_tail=os.environ.get("BENCH_BLOCK_TAIL", "auto"),
     )
     gen_cfg = GeneratorConfig(
         max_running_batch=4 * batch,

@@ -324,6 +324,16 @@ class ResourceConfig:
     # 1 = reference-style per-step loop.
     multi_step: int = 8
 
+    # Block-tail decode attention (pallas only): the multi-step block's
+    # own K/V rides a dense side buffer the decode kernel reads as an
+    # extra phase, and the paged cache takes ONE fused scatter per block
+    # instead of per step. Kills the per-step full-cache scatter sweep
+    # XLA lowers at 7B pool sizes (traced 2.6 ms/step); on small caches
+    # the per-step scatter is already cheap and the extra kernel phase
+    # can cost more than it saves. "auto" = on whenever attention is
+    # pallas; "off" forces per-step scatters for A/B measurement.
+    block_tail: str = "auto"  # "auto" | "on" | "off"
+
     def validate(self) -> None:
         if self.tensor_parallel_size < 1 or (
             self.tensor_parallel_size & (self.tensor_parallel_size - 1)
@@ -343,6 +353,8 @@ class ResourceConfig:
                                           "pallas_interpret"):
             raise ConfigError(
                 f"unknown quant_matmul_impl {self.quant_matmul_impl}")
+        if self.block_tail not in ("auto", "on", "off"):
+            raise ConfigError(f"unknown block_tail {self.block_tail}")
         if self.quantize_lm_head and self.quant_method == "none":
             # otherwise the flag is silently ignored (the quantize branch
             # only runs for online_i8i8 / online_w4a8)

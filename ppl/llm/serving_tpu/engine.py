@@ -151,6 +151,7 @@ class LLMEngine:
         self._clear_slots = jax.jit(
             sampling_ops.clear_count_slots, donate_argnums=(0,))
         self._multi_step = max(1, resource_cfg.multi_step)
+        self._block_tail = resource_cfg.block_tail
         self._packed_cache: Dict[Any, Any] = {}
         # when set, every newly compiled program key is appended to this
         # JSON manifest (see save_compile_manifest / prewarm)
@@ -206,7 +207,8 @@ class LLMEngine:
         kwargs = dict(self._step_kwargs, greedy_only=greedy)
         if n_steps > 1:
             inner = llama.make_multi_step_fn(
-                self.model_cfg, self.spec, n_steps, **kwargs)
+                self.model_cfg, self.spec, n_steps,
+                block_tail=self._block_tail, **kwargs)
         else:
             inner = llama.make_step_fn(
                 self.model_cfg, self.spec, **kwargs)

@@ -582,14 +582,17 @@ def make_step_fn(cfg: ModelConfig, spec: CacheSpec,
 
 def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
                 quant_method: str = "none", attn_impl: str = "xla",
-                quant_impl: str = "xla"):
+                quant_impl: str = "xla", return_logprobs: bool = False):
     """Teacher-forced token NLLs for perplexity evaluation.
 
     The accuracy harness behind the <=0.1 perplexity-delta target
     (BASELINE.md): runs the SAME serving forward (one prefill row over the
     paged cache, same kernels/quantization paths as serving) but computes
     logits at every position. Returns per-position NLL of the next token
-    and a validity mask.
+    and a validity mask; with ``return_logprobs`` also the full [L-1, V]
+    log-softmax (the accuracy harness computes per-position
+    KL(fp32 || quantized) from it — the distortion probe that cannot be
+    confounded by regularization effects on a small probe model).
     """
     from ..ops.pallas import paged_attention as pallas_attn
 
@@ -660,13 +663,15 @@ def make_nll_fn(cfg: ModelConfig, spec: CacheSpec,
         nll_all = -jnp.take_along_axis(
             logprobs[:-1], targets[:, None], axis=-1)[:, 0]
         mask = jnp.arange(L - 1) < (n_valid - 1)
+        if return_logprobs:
+            return nll_all, mask, logprobs[:-1].astype(jnp.float32)
         return nll_all, mask
 
     return nll
 
 
 def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
-                       **step_kwargs):
+                       block_tail: str = "auto", **step_kwargs):
     """N decode steps in ONE jitted program (``lax.scan``), sampled tokens
     feeding back on device.
 
@@ -684,7 +689,10 @@ def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
     """
     step = make_step_fn(cfg, spec, **step_kwargs)
     attn_impl = step_kwargs.get("attn_impl", "xla")
-    use_tail = attn_impl in ("pallas", "pallas_interpret")
+    use_tail = (attn_impl in ("pallas", "pallas_interpret")
+                and block_tail != "off")
+    assert block_tail != "on" or use_tail, (
+        "block_tail='on' requires pallas attention")
 
     def multi_step(params, kv_cache, kv_scale, count_map,
                    inp: StepInput, rng: jax.Array):

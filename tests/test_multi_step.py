@@ -405,3 +405,25 @@ def test_block_tail_pallas_matches_single_int8_kv():
     finally:
         gen1.shutdown()
         gen8.shutdown()
+
+
+def test_block_tail_off_knob_matches_on():
+    """block_tail='off' (per-step scatters, reference behavior) and the
+    default block-tail mode must produce identical greedy tokens — the
+    knob exists for A/B perf measurement (config.ResourceConfig
+    .block_tail), not different semantics."""
+    gen_on, conn_on = _build_pallas(8)
+    gen_off, conn_off = build(
+        model_cfg=make_model_cfg(),
+        resource_kw=dict(multi_step=8,
+                         attention_impl="pallas_interpret",
+                         attention_seq_block=2, block_tail="off"))
+    try:
+        run(gen_on, conn_on, [req(5, prompt="knob parity", gen_len=20)],
+            timeout=600)
+        run(gen_off, conn_off, [req(5, prompt="knob parity", gen_len=20)],
+            timeout=600)
+        assert conn_on.tokens[5] == conn_off.tokens[5]
+    finally:
+        gen_on.shutdown()
+        gen_off.shutdown()
