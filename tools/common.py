@@ -74,6 +74,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sampling-top-k-cap", type=int, default=256,
                    help="candidate cap for top-k/top-p sampling (0 = "
                         "full vocab sort)")
+    p.add_argument("--block-tail", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="one fused KV scatter per multi-step block "
+                        "(pallas attention only); off = per-step "
+                        "scatters for A/B measurement")
     p.add_argument("--token-buckets", default="",
                    help="comma-separated prefill token-count buckets "
                         "(bounds the compiled-shape grid; default "
@@ -157,6 +162,7 @@ def build_configs(args):
         attention_impl=args.attention_impl,
         attention_seq_block=args.attention_seq_block,
         sampling_top_k_cap=args.sampling_top_k_cap,
+        block_tail=args.block_tail,
     )
     if getattr(args, "token_buckets", ""):
         resource_cfg.token_buckets = tuple(
