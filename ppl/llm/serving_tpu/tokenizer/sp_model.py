@@ -26,6 +26,18 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 SP_SPACE = "▁"
 
+# NMT pre-normalization (sentencepiece nmt_nfkc, documented rules):
+# whitespace variants -> U+0020; C0/C1 controls, DEL, zero-width and
+# BOM characters -> dropped.
+_NMT_PRE_MAP = {}
+for _c in "\t\n\r\x0b\x0c":
+    _NMT_PRE_MAP[ord(_c)] = " "
+for _cp in (list(range(0x00, 0x09)) + [0x0E, 0x0F]
+            + list(range(0x10, 0x20)) + [0x7F]
+            + list(range(0x80, 0xA0))
+            + [0x200B, 0x200C, 0x200D, 0x200E, 0x200F, 0xFEFF]):
+    _NMT_PRE_MAP[_cp] = None
+
 # SentencePiece.Type enum (sentencepiece_model.proto)
 TYPE_NORMAL = 1
 TYPE_UNKNOWN = 2
@@ -82,7 +94,9 @@ class SPModel:
     def __init__(self, pieces: List[Tuple[str, float, int]],
                  unk_id: int = 0, bos_id: int = 1, eos_id: int = 2,
                  pad_id: int = -1, add_dummy_prefix: bool = True,
-                 escape_whitespaces: bool = True):
+                 escape_whitespaces: bool = True,
+                 normalizer_name: str = "identity",
+                 remove_extra_whitespaces: bool = False):
         self.pieces = pieces
         self.unk_id = unk_id
         self.bos_id = bos_id
@@ -90,6 +104,8 @@ class SPModel:
         self.pad_id = pad_id
         self.add_dummy_prefix = add_dummy_prefix
         self.escape_whitespaces = escape_whitespaces
+        self.normalizer_name = normalizer_name
+        self.remove_extra_whitespaces = remove_extra_whitespaces
 
         self._piece_to_id: Dict[str, int] = {}
         self._byte_pieces: Dict[int, int] = {}  # byte value -> id
@@ -123,6 +139,8 @@ class SPModel:
         unk_id, bos_id, eos_id, pad_id = 0, 1, 2, -1
         add_dummy_prefix = True
         escape_whitespaces = True
+        normalizer_name = "identity"
+        remove_extra_whitespaces = False
         saw_trainer_ids = False
         for field, wire, val in _iter_fields(data):
             if field == 1 and wire == 2:  # repeated SentencePiece
@@ -149,8 +167,13 @@ class SPModel:
                         pad_id = _sint(v2)
             elif field == 3 and wire == 2:  # NormalizerSpec
                 for f2, w2, v2 in _iter_fields(val):
-                    if f2 == 3 and w2 == 0:
+                    if f2 == 1 and w2 == 2:
+                        normalizer_name = v2.decode("utf-8",
+                                                    errors="replace")
+                    elif f2 == 3 and w2 == 0:
                         add_dummy_prefix = bool(v2)
+                    elif f2 == 4 and w2 == 0:
+                        remove_extra_whitespaces = bool(v2)
                     elif f2 == 5 and w2 == 0:
                         escape_whitespaces = bool(v2)
         if not saw_trainer_ids:
@@ -163,7 +186,8 @@ class SPModel:
                 elif piece == "</s>":
                     eos_id = i
         return cls(pieces, unk_id, bos_id, eos_id, pad_id,
-                   add_dummy_prefix, escape_whitespaces)
+                   add_dummy_prefix, escape_whitespaces,
+                   normalizer_name, remove_extra_whitespaces)
 
     # -- codec ---------------------------------------------------------------
 
@@ -174,6 +198,29 @@ class SPModel:
         return self.pieces[i][0]
 
     def _normalize(self, text: str) -> str:
+        """NormalizerSpec semantics. ``identity`` (llama-family models)
+        is exact. For specs named ``nfkc`` / ``nmt_nfkc`` (and their
+        ``_cf`` casefold variants) the precompiled charsmap is
+        approximated: Unicode NFKC via :mod:`unicodedata` (cross-checked
+        against HF tokenizers' Rust NFKC in tests/test_sp_crossval.py)
+        plus sentencepiece's documented NMT pre-rules (whitespace
+        variants to U+0020, control and zero-width characters dropped).
+        The handful of bespoke charsmap deviations sentencepiece's
+        builder adds on top are NOT reproduced — exact parity for those
+        requires the library itself (reference: tokenizer_impl_sp.h:35).
+        """
+        name = self.normalizer_name
+        if "nfkc" in name:
+            import unicodedata
+            if name.startswith("nmt"):
+                text = text.translate(_NMT_PRE_MAP)
+            text = unicodedata.normalize("NFKC", text)
+            if name.endswith("_cf"):
+                text = text.casefold()
+        if self.remove_extra_whitespaces:
+            while "  " in text:
+                text = text.replace("  ", " ")
+            text = text.strip(" ")
         # sentencepiece prepends the dummy-prefix space UNCONDITIONALLY
         # (normalizer.cc): " x" normalizes to "▁▁x", not "▁x".
         # Cross-validated against HF tokenizers' llama-style pipeline

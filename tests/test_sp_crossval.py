@@ -71,7 +71,13 @@ def _model_proto_cls():
 
     ns = fdp.message_type.add()
     ns.name = "NormalizerSpec"
-    for name, num in (("add_dummy_prefix", 3), ("escape_whitespaces", 5)):
+    f = ns.field.add()
+    f.name, f.number = "name", 1
+    f.type = f.TYPE_STRING
+    f.label = f.LABEL_OPTIONAL
+    for name, num in (("add_dummy_prefix", 3),
+                      ("remove_extra_whitespaces", 4),
+                      ("escape_whitespaces", 5)):
         f = ns.field.add()
         f.name, f.number = name, num
         f.type = f.TYPE_BOOL
@@ -314,3 +320,77 @@ def test_byte_fallback_ids_match_hf(sp_model, hf_ref):
     assert ours == ref
     # 1 dummy-prefix piece + 4 byte pieces
     assert all(sp_model.pieces[i][2] == TYPE_BYTE for i in ours[1:])
+
+
+# -- NFKC normalization (approximated charsmap) -------------------------------
+
+def _nfkc_model(name, remove_extra=False):
+    """Tiny char-covering vocab with an NFKC NormalizerSpec."""
+    from google.protobuf import descriptor_pb2  # noqa: F401 (env check)
+    cls = _model_proto_cls()
+    mp = cls()
+    vocab = [("<unk>", 0.0, TYPE_UNKNOWN), ("<s>", 0.0, TYPE_CONTROL),
+             ("</s>", 0.0, TYPE_CONTROL)]
+    vocab += [(f"<0x{b:02X}>", -100.0, TYPE_BYTE) for b in range(256)]
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz0123456789 ."):
+        cc = "▁" if c == " " else c
+        vocab.append((cc, -2.0 - 0.01 * i, TYPE_NORMAL))
+        if cc != "▁":
+            vocab.append(("▁" + cc, -1.5 - 0.01 * i, TYPE_NORMAL))
+    for piece, score, typ in vocab:
+        e = mp.pieces.add()
+        e.piece, e.score, e.type = piece, score, typ
+    mp.trainer_spec.unk_id = 0
+    mp.trainer_spec.bos_id = 1
+    mp.trainer_spec.eos_id = 2
+    ns = mp.normalizer_spec
+    ns.name = name
+    ns.add_dummy_prefix = True
+    ns.escape_whitespaces = True
+    ns.remove_extra_whitespaces = remove_extra
+    return SPModel.from_bytes(mp.SerializeToString())
+
+
+def test_nfkc_matches_hf_rust_normalizer():
+    """The unicodedata-based NFKC pass must agree with HF tokenizers'
+    Rust NFKC normalizer (independent implementation) on a corpus of
+    compatibility characters."""
+    from tokenizers import normalizers
+    hf = normalizers.NFKC()
+    m = _nfkc_model("nfkc")
+    cases = ["ﬁle", "Ⅻ caesar", "①②③", "ｆｕｌｌｗｉｄｔｈ",
+             "½ + ¼", "ǆungla", "㎞ and ㎡", "ẛ",
+             "éclair", "ｱｲｳｴｵ"]
+    import unicodedata
+    for s in cases:
+        assert unicodedata.normalize("NFKC", s) == hf.normalize_str(s), s
+        # and the model's encode consumes the normalized form: decoding
+        # the ids must reproduce the NFKC text (byte pieces cover all)
+        out = m.decode(m.encode(s))
+        assert out == unicodedata.normalize("NFKC", s).lstrip(" "), s
+
+
+def test_normalizer_spec_name_parsed():
+    assert _nfkc_model("nmt_nfkc").normalizer_name == "nmt_nfkc"
+    assert _nfkc_model("nfkc").normalizer_name == "nfkc"
+
+
+def test_nmt_pre_rules():
+    m = _nfkc_model("nmt_nfkc")
+    # tab/newline -> space; zero-width and C0 controls dropped
+    assert m.encode("a\tb") == m.encode("a b")
+    assert m.encode("a​b") == m.encode("ab")
+    assert m.encode("a\x01b") == m.encode("ab")
+
+
+def test_remove_extra_whitespaces():
+    m = _nfkc_model("nmt_nfkc", remove_extra=True)
+    assert m.encode("  a   b  ") == m.encode("a b")
+
+
+def test_identity_spec_untouched():
+    m = SPModel.from_bytes(_google_model_bytes(PIECES))
+    assert m.normalizer_name == "identity"  # default when absent
+    # compatibility chars must NOT be normalized under identity
+    ids = m.encode("ﬁ")
+    assert m.decode(ids) == "ﬁ"
