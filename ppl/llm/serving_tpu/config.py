@@ -327,12 +327,12 @@ class ResourceConfig:
     # Block-tail decode attention (pallas only): the multi-step block's
     # own K/V rides a dense side buffer the decode kernel reads as an
     # extra phase, and the paged cache takes ONE fused scatter per block
-    # instead of per step. Kills the per-step full-cache scatter sweep
-    # XLA lowers at 7B pool sizes (traced 2.6 ms/step); on small caches
-    # the per-step scatter is already cheap and the extra kernel phase
-    # can cost more than it saves. "auto" = on whenever attention is
-    # pallas; "off" forces per-step scatters for A/B measurement.
-    block_tail: str = "auto"  # "auto" | "on" | "off"
+    # instead of per step. Hardware A/B (BASELINE.md round 3): LOSES
+    # 5.3% at 7B b32 and ~3% at TinyLlama b64 — the per-step fused
+    # scatter is 0.02-0.09 ms/step at 7B geometry, cheaper than the
+    # extra kernel phase + side-buffer maintenance. "auto" (default) =
+    # per-step scatters; "on" keeps the mode for experiments.
+    block_tail: str = "auto"  # "auto"(=off) | "on" | "off"
 
     def validate(self) -> None:
         if self.tensor_parallel_size < 1 or (

@@ -689,8 +689,13 @@ def make_multi_step_fn(cfg: ModelConfig, spec: CacheSpec, num_steps: int,
     """
     step = make_step_fn(cfg, spec, **step_kwargs)
     attn_impl = step_kwargs.get("attn_impl", "xla")
+    # "auto" = per-step scatters: hardware A/B (BASELINE.md round 3)
+    # showed block-tail LOSES 5.3% at 7B b32 and ~3% at TinyLlama b64 —
+    # the per-step fused scatter it replaces costs 0.02-0.09 ms/step
+    # (microbench_scatter_7b.py), less than the tail phase + side-buffer
+    # updates. "on" keeps the mode for explicit experiments.
     use_tail = (attn_impl in ("pallas", "pallas_interpret")
-                and block_tail != "off")
+                and block_tail == "on")
     assert block_tail != "on" or use_tail, (
         "block_tail='on' requires pallas attention")
 

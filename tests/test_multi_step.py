@@ -361,14 +361,18 @@ def test_reactive_continuation_with_early_stopping():
     assert results[0] == results[1]
 
 
-def _build_pallas(multi_step, quant_kv=False):
+def _build_pallas(multi_step, quant_kv=False, block_tail="auto"):
     mkw = (dict(cache_quant_bit=8, cache_quant_group=8) if quant_kv
            else {})
+    if multi_step > 1 and block_tail == "auto":
+        # these tests exercise the block-tail path explicitly (the
+        # production default is per-step scatters, BASELINE.md round 3)
+        block_tail = "on"
     return build(
         model_cfg=make_model_cfg(**mkw),
         resource_kw=dict(multi_step=multi_step,
                          attention_impl="pallas_interpret",
-                         attention_seq_block=2))
+                         attention_seq_block=2, block_tail=block_tail))
 
 
 def test_block_tail_pallas_matches_single():
@@ -412,7 +416,7 @@ def test_block_tail_off_knob_matches_on():
     default block-tail mode must produce identical greedy tokens — the
     knob exists for A/B perf measurement (config.ResourceConfig
     .block_tail), not different semantics."""
-    gen_on, conn_on = _build_pallas(8)
+    gen_on, conn_on = _build_pallas(8, block_tail="on")
     gen_off, conn_off = build(
         model_cfg=make_model_cfg(),
         resource_kw=dict(multi_step=8,
