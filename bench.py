@@ -143,8 +143,11 @@ def main():
         quant_method=("online_i8i8" if variant in ("i8i8", "i8i8_w")
                       else "online_w4a8" if variant == "w4"
                       else "none"),
+        # default ON: int8 lm_head is the measured winner on both bench
+        # configs (tinyllama 12649 vs 11892; BASELINE.md round 2) and the
+        # accuracy harness gates it 19x under the KL budget
         quantize_lm_head=bool(int(
-            os.environ.get("BENCH_QUANT_LM_HEAD", "0"))),
+            os.environ.get("BENCH_QUANT_LM_HEAD", "1"))),
         quant_matmul_impl=os.environ.get("BENCH_QUANT_IMPL", "auto"),
         attention_seq_block=int(os.environ.get("BENCH_SEQ_BLOCK", "8")),
         block_tail=os.environ.get("BENCH_BLOCK_TAIL", "auto"),
