@@ -84,11 +84,16 @@ for i in $(seq 1 600); do
 done
 grep -q "listening" "$SERVER_LOG" || { echo "server never came up"; exit 1; }
 
-# warm the compiled-shape grid before measuring: one short pass
+# warm the compiled-shape grid before measuring. The pass must reach the
+# same running-batch / page-bucket shapes as the measured run, or fresh
+# tunnel compiles (minutes each) land INSIDE the measurement — the first
+# round-3 attempt warmed with 16 requests and measured 171 tok/s instead
+# of the real number. Warm with the full request count.
 ES_FLAG=""
 [ "$EARLY" = "1" ] && ES_FLAG="--early-stopping"
+WARMREQ=${WARMREQ:-$NREQ}
 python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
-  --dataset "$SAMPLES" --num-requests 16 --request-rate inf \
+  --dataset "$SAMPLES" --num-requests "$WARMREQ" --request-rate inf \
   --token-in-out $ES_FLAG > /dev/null 2>&1
 
 python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
