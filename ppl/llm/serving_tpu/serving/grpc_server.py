@@ -96,6 +96,12 @@ class GRPCConnection(Connection):
             call.pending += 1
             self._tid_to_call[tid] = call
 
+    def on_profiling(self, profiler) -> None:
+        # [PERF] block to stderr, reference server behavior
+        # (llm_generator.cc:768-780 -> PrintProfiler)
+        from ..profiler import print_profiler
+        print_profiler(profiler)
+
     def _finish_tid(self, call: _CallState, tid: int) -> bool:
         """Returns True when the call has no tids left; the caller must
         enqueue the end-of-stream sentinel AFTER the final response batch."""
@@ -167,7 +173,15 @@ class GRPCServer:
     def __init__(self, conn: GRPCConnection,
                  process_func: Callable[[Request], None],
                  on_disconnected_func: Callable[[int], None],
-                 max_workers: int = 16):
+                 max_workers: int = 1024):
+        # Each unary_stream handler OCCUPIES a pool thread for its whole
+        # stream lifetime (the response generator blocks in the pool), so
+        # max_workers bounds CONCURRENT STREAMS, not transient work.
+        # 16 workers serialized the round-3 canonical benchmark to ~4
+        # admitted requests at a time (668 tok/s instead of thousands;
+        # BASELINE.md). The reference's async-CQ loop has no such bound
+        # (grpc_server.h:113-121); 1024 parked threads (~blocked on
+        # queue.get) are the grpcio-threaded equivalent.
         self._conn = conn
         self._process = process_func
         self._on_disconnected = on_disconnected_func

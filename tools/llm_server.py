@@ -23,6 +23,10 @@ def main():
     add_generator_args(parser)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=23333)
+    parser.add_argument("--grpc-max-workers", type=int, default=1024,
+                        help="max CONCURRENT client streams: each "
+                             "streaming call holds a pool thread for "
+                             "its lifetime")
     # multi-host (north-star): same command on every host; host 0 becomes
     # the controller + frontend, the rest execute plans in lockstep
     parser.add_argument("--coordinator-address", default=None,
@@ -128,7 +132,8 @@ def main():
     if args.monitor_port:
         from ppl.llm.serving_tpu.serving.metrics import MetricsServer
         MetricsServer(profiler, args.monitor_port).start()
-    server = GRPCServer(conn, generator.process, generator.clear_task)
+    server = GRPCServer(conn, generator.process, generator.clear_task,
+                        max_workers=args.grpc_max_workers)
     server.init(args.host, args.port)
     print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
     server.loop()
