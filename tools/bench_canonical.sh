@@ -57,9 +57,13 @@ else
  "cache_mode": 1, "page_size": 128, "dynamic_batching": true,
  "auto_causal": true, "dtype": "bfloat16"}
 EOF
-  KV_TOKENS=${KV_TOKENS:-131072}
-  EXTRA="--max-running-batch 256 --max-prefill-batch 64"
-  BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,256"
+  # grid sized to fit HBM: the original 256-batch bucket compiled a
+  # 17.56 GB program once the stream-concurrency fix let the running
+  # batch actually REACH 189+ (round-3 run 3: engine fail-all, 148
+  # failed requests). 128 + a 96k-token pool fits.
+  KV_TOKENS=${KV_TOKENS:-98304}
+  EXTRA="--max-running-batch 128 --max-prefill-batch 64"
+  BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,128"
 fi
 
 python tools/gen_samples.py --output "$SAMPLES" --count "$NREQ" \
