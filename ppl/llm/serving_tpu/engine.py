@@ -374,6 +374,45 @@ class LLMEngine:
                 logger.warning("prewarm skipped key %s: %s", key, e)
         return n_ok
 
+    def validate_bucket_grid(self, max_total_tokens_per_request: int,
+                             max_running_batch: int) -> int:
+        """Compile the EXTREME decode-bucket programs BEFORE serving and
+        clamp the batch-bucket table to what actually fits device memory.
+
+        Round-3 canonical run: the 256-batch decode bucket compiled a
+        17.56 GB program the first time the running batch reached 189
+        — mid-serving — and the resulting engine failure fail-all'ed
+        148 in-flight requests (reference semantics,
+        ``llm_generator.cc:681-688``). A bucket grid is configuration,
+        not traffic: validate it at startup, fail the BUCKET (drop it,
+        clamp ``max_running_batch``) instead of the users.
+
+        Returns the clamped max running batch (== the largest surviving
+        batch bucket, or the input if all buckets fit).
+        """
+        pages_per_req = -(-max_total_tokens_per_request
+                          // self.spec.page_size)
+        kvp = self._kvp_bucket(pages_per_req)
+        n_steps = self._multi_step if self._multi_step > 1 else 1
+        clamped = max_running_batch
+        keep = []
+        for bucket in sorted(self.batch_buckets):
+            if bucket > max_running_batch and keep:
+                keep.append(bucket)   # unreachable: harmless, keep
+                continue
+            key = (n_steps, n_steps > 1, bucket, 0,
+                   self.token_buckets[0], kvp, False, False)
+            if self.prewarm([key]) == 1:
+                keep.append(bucket)
+                continue
+            logger.error(
+                "bucket grid: decode batch bucket %d (kvp %d) does not "
+                "compile on this device — dropping it and clamping "
+                "max_running_batch", bucket, kvp)
+            clamped = min(clamped, max(keep) if keep else 1)
+        self.batch_buckets = tuple(keep) if keep else self.batch_buckets
+        return min(clamped, max_running_batch)
+
     def _kvp_bucket(self, max_pages: int) -> int:
         b = 1
         while b < max_pages:

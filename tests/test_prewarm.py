@@ -76,3 +76,43 @@ def test_prewarm_skips_stale_keys(tmp_path):
         assert n == 1
     finally:
         gen.shutdown()
+
+
+def test_validate_bucket_grid_clamps_on_failure(monkeypatch):
+    """A decode bucket whose program cannot compile (e.g. HBM OOM) is
+    dropped at STARTUP and max_running_batch clamps to the largest
+    surviving bucket — instead of a mid-serving engine failure that
+    fail-alls every running request (round-3 canonical run 3)."""
+    from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
+                                            ResourceConfig)
+    from ppl.llm.serving_tpu.resources import create_engine
+    model_cfg = ModelConfig(
+        hidden_dim=64, intermediate_dim=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=256, cache_mode=1, page_size=16,
+        dtype="float32")
+    resource_cfg = ResourceConfig(
+        model_format="random", kv_cache_max_tokens=2048,
+        token_buckets=(32, 64), batch_buckets=(4, 8, 16))
+    gen_cfg = GeneratorConfig(max_running_batch=16, max_prefill_batch=4,
+                              max_tokens_per_step=256,
+                              max_total_tokens_per_request=64)
+    engine, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+
+    real_prewarm = engine.prewarm
+
+    def fake_prewarm(keys):
+        # simulate: buckets >= 16 exceed device memory
+        if any(int(k[2]) >= 16 for k in keys):
+            return 0
+        return real_prewarm(keys)
+
+    monkeypatch.setattr(engine, "prewarm", fake_prewarm)
+    clamped = engine.validate_bucket_grid(64, 16)
+    assert clamped == 8
+    assert 16 not in engine.batch_buckets
+    assert engine.batch_buckets == (4, 8)
+
+    # all-fit case: nothing clamped
+    engine2, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+    assert engine2.validate_bucket_grid(64, 16) == 16
+    assert engine2.batch_buckets == (4, 8, 16)

@@ -23,6 +23,13 @@ def main():
     add_generator_args(parser)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=23333)
+    parser.add_argument("--validate-bucket-grid", type=int, default=1,
+                        help="compile the extreme decode-bucket programs "
+                             "at startup and clamp max_running_batch to "
+                             "what fits device memory (0 = serve "
+                             "immediately and risk a mid-serving "
+                             "fail-all on the first visit to an "
+                             "oversized bucket)")
     parser.add_argument("--grpc-max-workers", type=int, default=1024,
                         help="max CONCURRENT client streams: each "
                              "streaming call holds a pool thread for "
@@ -116,6 +123,16 @@ def main():
                 multihost.worker_serve(engine)
                 return
             plan_channel = multihost.controller_plan_channel
+        if args.validate_bucket_grid:
+            clamped = engine.validate_bucket_grid(
+                gen_cfg.max_total_tokens_per_request,
+                gen_cfg.max_running_batch)
+            if clamped < gen_cfg.max_running_batch:
+                print(f"[WARN] bucket grid clamped: max_running_batch "
+                      f"{gen_cfg.max_running_batch} -> {clamped} "
+                      f"(largest decode bucket that compiles within "
+                      f"device memory)", flush=True)
+                gen_cfg.max_running_batch = clamped
         if args.warmup_manifest:
             import time as _time
             t0 = _time.perf_counter()
