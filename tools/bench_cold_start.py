@@ -63,11 +63,12 @@ def first_token_latency(target, timeout):
     raise RuntimeError("stream closed without a token")
 
 
-def run_phase(name, cmd, logf, probe_timeout):
+def run_phase(name, cmd, logf, probe_timeout, cache_dir):
     print(f"[{name}] {' '.join(cmd)}", file=sys.stderr, flush=True)
+    env = dict(os.environ, PPL_COMPILE_CACHE=cache_dir)
     with open(logf, "w") as lf:
         proc = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                                start_new_session=True)
+                                start_new_session=True, env=env)
     try:
         t_listen = wait_listening(proc, logf, probe_timeout)
         t_first = first_token_latency("127.0.0.1:23411", probe_timeout)
@@ -103,12 +104,17 @@ def main():
 
     if os.path.exists(args.manifest):
         os.unlink(args.manifest)
+    # first-ever start vs restart: phase 1 gets an EMPTY compile cache
+    # (a pre-populated global cache would understate cold); phase 2
+    # inherits the cache phase 1 populated plus its manifest.
+    import tempfile
+    cache_dir = tempfile.mkdtemp(prefix="cold_start_cache_")
     # phase 1: cold (manifest recorded for phase 2)
     cold = run_phase("cold", base + ["--warmup-manifest", args.manifest],
-                     "/tmp/cold_start_cold.log", args.timeout)
+                     "/tmp/cold_start_cold.log", args.timeout, cache_dir)
     # phase 2: prewarmed from the manifest phase 1 left behind
     warm = run_phase("warm", base + ["--warmup-manifest", args.manifest],
-                     "/tmp/cold_start_warm.log", args.timeout)
+                     "/tmp/cold_start_warm.log", args.timeout, cache_dir)
     out = {"cold": cold, "warm": warm,
            "manifest_keys": (len(json.load(open(args.manifest)))
                              if os.path.exists(args.manifest) else 0)}

@@ -118,11 +118,24 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
 
 def apply_platform_env() -> None:
     """Honor PPL_PLATFORM=cpu|axon|tpu even though the environment's site
-    hook pins JAX_PLATFORMS before our code runs."""
+    hook pins JAX_PLATFORMS before our code runs.
+
+    Also turns on the persistent XLA compilation cache for every serving
+    tool: the server compiles a whole bucket grid at startup (the
+    reference uploads pre-compiled pmx slices instead,
+    ``resource_manager.cc:278-290``) and a tunnel-remote compile of one
+    large decode block runs minutes — disk-cached, a restart replays it
+    in seconds. PPL_COMPILE_CACHE= (empty) disables."""
     plat = os.environ.get("PPL_PLATFORM")
+    import jax
     if plat:
-        import jax
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("PPL_COMPILE_CACHE", "/root/.cache/jax_comp")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default min_entry_size leaves small programs uncached; the grid
+        # is many medium programs, cache them all
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def build_configs(args):
