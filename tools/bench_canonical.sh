@@ -69,12 +69,19 @@ fi
 python tools/gen_samples.py --output "$SAMPLES" --count "$NREQ" \
   --prompt-mean 32 --answer-mean 64 || exit 1
 
+# the manifest records every step-program key the run visits; a rerun
+# (or the EARLY=1 leg) precompiles them BEFORE taking traffic, where the
+# persistent disk cache makes them fast — without it the warm pass
+# crawls through first-visit bucket compiles one at a time as the
+# running batch ramps
+MANIFEST=${MANIFEST:-/tmp/canonical_manifest_${MODEL}.json}
 python tools/llm_server.py \
   --model-format random --model-param-path "$PARAMS" \
   --tokenizer-type dummy --quant-method online_i8i8 \
   --kv-cache-max-tokens "$KV_TOKENS" --multi-step 16 \
   --speculative-blocks 1 --max-tokens-per-step 8192 \
   --attention-seq-block 8 $BUCKETS $EXTRA \
+  --warmup-manifest "$MANIFEST" \
   --enable-profiling --disable-log-req \
   --port "$PORT" > "$SERVER_LOG" 2>&1 &
 SERVER_PID=$!
