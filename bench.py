@@ -73,11 +73,11 @@ if os.environ.get("PPL_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["PPL_PLATFORM"])
 
 # Persistent compilation cache: the unrolled multi-step decode programs
-# take minutes to compile; cache them across bench runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# take minutes to compile; cache them across bench runs (repo-local so
+# the driver's ~/.cache wipe between rounds can't cold-start us).
+from ppl.llm.serving_tpu.utils.compile_cache import configure  # noqa: E402
+
+configure(jax, flavor="tpu")
 
 import numpy as np
 
@@ -101,7 +101,11 @@ def main():
     #   | i8i8_7b (LLaMA-2-7B shapes, int8 weights + int8 KV — the
     #     BASELINE.md north-star config; ~7.5 GB int8 weights fit a
     #     single v5e chip's 16 GB HBM)
-    variant = os.environ.get("BENCH_CONFIG", "i8i8")
+    # Default on TPU: the BASELINE.json north-star config (LLaMA-2-7B,
+    # int8 weights + int8 KV) so the driver-captured artifact measures
+    # the headline model, not the small-geometry smoke config.
+    variant = os.environ.get("BENCH_CONFIG",
+                             "i8i8_7b" if on_tpu else "i8i8")
     model_name = "tinyllama1.1b"
     if on_tpu and variant in ("i8i8_7b", "w4_7b"):
         model_name = "llama2-7b"
@@ -109,10 +113,14 @@ def main():
             hidden_dim=4096, intermediate_dim=11008, num_layers=32,
             num_heads=32, num_kv_heads=32, vocab_size=32000,
             cache_mode=1, page_size=128, dtype="bfloat16")
-        # b48 fits the 16k-token pool (48 x 256 = 12288); weights dominate
-        # decode bytes at 7B, so throughput is ~linear in batch here
-        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        # b48 is the measured single-chip sweet spot (BASELINE.md round
+        # 3: 1502 tok/s; b64 regresses) and fits the 16k-token pool
+        # (48 x 256 = 12288); a single 48x128 prefill step OOMs at
+        # compile, so prefill runs in waves of 16
+        batch = int(os.environ.get("BENCH_BATCH", "48"))
         prompt_len, gen_len = 128, 128
+        os.environ.setdefault("BENCH_MAX_PREFILL_BATCH",
+                              str(min(batch, 16)))
         # 32 kv heads -> 16k tokens ~ 5.4 GB int8 incl. scales
         kv_tokens = int(os.environ.get("BENCH_KV_TOKENS", 16 * 1024))
         variant = "i8i8" if variant == "i8i8_7b" else "w4"

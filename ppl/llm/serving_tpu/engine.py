@@ -396,14 +396,24 @@ class LLMEngine:
         n_steps = self._multi_step if self._multi_step > 1 else 1
         clamped = max_running_batch
         keep = []
+        covered = False   # a kept bucket >= max_running_batch exists
         for bucket in sorted(self.batch_buckets):
-            if bucket > max_running_batch and keep:
-                keep.append(bucket)   # unreachable: harmless, keep
+            if covered:
+                # Unreachable at this config — and unvalidated. DROP it:
+                # a "validated" grid must never contain an uncompiled
+                # bucket (a later restart with a raised max_running_batch
+                # would trust it and reintroduce the mid-serving
+                # compile-OOM fail-all this function exists to kill).
+                logger.info(
+                    "bucket grid: dropping unreachable (unvalidated) "
+                    "decode batch bucket %d > max_running_batch %d",
+                    bucket, max_running_batch)
                 continue
             key = (n_steps, n_steps > 1, bucket, 0,
                    self.token_buckets[0], kvp, False, False)
             if self.prewarm([key]) == 1:
                 keep.append(bucket)
+                covered = bucket >= max_running_batch
                 continue
             logger.error(
                 "bucket grid: decode batch bucket %d (kvp %d) does not "

@@ -18,8 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the generator e2e tests compile dozens of
-# (bucket, feed, block) step variants; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.cache/jax_comp_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# (bucket, feed, block) step variants; cache them across test runs
+# (repo-local so the driver's ~/.cache wipe can't cold-start the suite).
+from ppl.llm.serving_tpu.utils.compile_cache import configure  # noqa: E402
+
+configure(jax, flavor="cpu", min_compile_secs=1.0)

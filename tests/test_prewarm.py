@@ -116,3 +116,25 @@ def test_validate_bucket_grid_clamps_on_failure(monkeypatch):
     engine2, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
     assert engine2.validate_bucket_grid(64, 16) == 16
     assert engine2.batch_buckets == (4, 8, 16)
+
+    # buckets beyond the first one covering max_running_batch are
+    # unreachable AND unvalidated — they must be dropped, never kept:
+    # a later restart with a raised max_running_batch would otherwise
+    # trust a "validated" grid containing an uncompiled shape (the
+    # exact mid-serving compile-OOM class this function kills)
+    engine3, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+    compiled = []
+    real3 = engine3.prewarm
+    monkeypatch.setattr(
+        engine3, "prewarm",
+        lambda keys: (compiled.extend(int(k[2]) for k in keys),
+                      real3(keys))[1])
+    assert engine3.validate_bucket_grid(64, 8) == 8
+    assert engine3.batch_buckets == (4, 8)
+    assert 16 not in compiled  # dropped WITHOUT wasting a compile
+
+    # max_running_batch between buckets: the first covering bucket is
+    # reachable (batch 9..12 -> bucket 16) so it IS validated and kept
+    engine4, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+    assert engine4.validate_bucket_grid(64, 12) == 12
+    assert engine4.batch_buckets == (4, 8, 16)

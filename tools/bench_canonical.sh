@@ -62,19 +62,34 @@ EOF
   # batch actually REACH 189+ (round-3 run 3: engine fail-all, 148
   # failed requests). 128 + a 96k-token pool fits.
   KV_TOKENS=${KV_TOKENS:-98304}
-  EXTRA="--max-running-batch 128 --max-prefill-batch 64"
+  # --validate-bucket-grid: compile the extreme decode bucket at startup
+  # and clamp (never mid-serving fail-all) if it cannot fit
+  EXTRA="--max-running-batch 128 --max-prefill-batch 64 --validate-bucket-grid"
   BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,128"
 fi
 
+# WORKLOAD=sharegpt (default): length-matched to the reference's
+# ShareGPT samples_1024.json (prompt mean ~200 tok, answer ~180, heavy
+# tail — client_qps_measure.cc:54-132). WORKLOAD=light: the short mix
+# used by earlier diagnostic rounds.
+WORKLOAD=${WORKLOAD:-sharegpt}
+if [ "$MODEL" = "tiny" ] || [ "$WORKLOAD" = "light" ]; then
+  GEN_ARGS="--prompt-mean 32 --answer-mean 64"
+else
+  GEN_ARGS="--sharegpt-mix"
+fi
 python tools/gen_samples.py --output "$SAMPLES" --count "$NREQ" \
-  --prompt-mean 32 --answer-mean 64 || exit 1
+  $GEN_ARGS || exit 1
 
 # the manifest records every step-program key the run visits; a rerun
 # (or the EARLY=1 leg) precompiles them BEFORE taking traffic, where the
 # persistent disk cache makes them fast — without it the warm pass
 # crawls through first-visit bucket compiles one at a time as the
-# running batch ramps
-MANIFEST=${MANIFEST:-/tmp/canonical_manifest_${MODEL}.json}
+# running batch ramps. Keyed by the full shape-affecting config, not
+# just MODEL: a stale manifest from a different bucket grid would feed
+# prewarm keys that can never compile (and they'd accumulate forever).
+CFG_HASH=$(printf '%s|%s|%s' "$KV_TOKENS" "$BUCKETS" "$EXTRA" | cksum | cut -d' ' -f1)
+MANIFEST=${MANIFEST:-/tmp/canonical_manifest_${MODEL}_${CFG_HASH}.json}
 python tools/llm_server.py \
   --model-format random --model-param-path "$PARAMS" \
   --tokenizer-type dummy --quant-method online_i8i8 \

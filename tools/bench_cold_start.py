@@ -27,9 +27,11 @@ import argparse
 import json
 import os
 import shlex
+import shutil
 import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -107,14 +109,16 @@ def main():
     # first-ever start vs restart: phase 1 gets an EMPTY compile cache
     # (a pre-populated global cache would understate cold); phase 2
     # inherits the cache phase 1 populated plus its manifest.
-    import tempfile
     cache_dir = tempfile.mkdtemp(prefix="cold_start_cache_")
-    # phase 1: cold (manifest recorded for phase 2)
-    cold = run_phase("cold", base + ["--warmup-manifest", args.manifest],
-                     "/tmp/cold_start_cold.log", args.timeout, cache_dir)
-    # phase 2: prewarmed from the manifest phase 1 left behind
-    warm = run_phase("warm", base + ["--warmup-manifest", args.manifest],
-                     "/tmp/cold_start_warm.log", args.timeout, cache_dir)
+    try:
+        # phase 1: cold (manifest recorded for phase 2)
+        cold = run_phase("cold", base + ["--warmup-manifest", args.manifest],
+                         "/tmp/cold_start_cold.log", args.timeout, cache_dir)
+        # phase 2: prewarmed from the manifest phase 1 left behind
+        warm = run_phase("warm", base + ["--warmup-manifest", args.manifest],
+                         "/tmp/cold_start_warm.log", args.timeout, cache_dir)
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
     out = {"cold": cold, "warm": warm,
            "manifest_keys": (len(json.load(open(args.manifest)))
                              if os.path.exists(args.manifest) else 0)}

@@ -125,17 +125,17 @@ def apply_platform_env() -> None:
     reference uploads pre-compiled pmx slices instead,
     ``resource_manager.cc:278-290``) and a tunnel-remote compile of one
     large decode block runs minutes — disk-cached, a restart replays it
-    in seconds. PPL_COMPILE_CACHE= (empty) disables."""
+    in seconds. Default dir is repo-local (survives driver cache wipes,
+    see utils/compile_cache.py); PPL_COMPILE_CACHE= (empty) disables."""
     plat = os.environ.get("PPL_PLATFORM")
     import jax
+
+    from ppl.llm.serving_tpu.utils.compile_cache import configure
     if plat:
         jax.config.update("jax_platforms", plat)
-    cache_dir = os.environ.get("PPL_COMPILE_CACHE", "/root/.cache/jax_comp")
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # default min_entry_size leaves small programs uncached; the grid
-        # is many medium programs, cache them all
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # min-compile-time threshold lowered (1.0s -> 0.5s) so the many
+    # medium bucket-grid programs are cached, not just the giant ones
+    configure(jax, flavor="tpu")
 
 
 def build_configs(args):

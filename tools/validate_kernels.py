@@ -20,9 +20,9 @@ import jax
 
 if os.environ.get("PPL_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["PPL_PLATFORM"])
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.cache/jax_comp"))
+from ppl.llm.serving_tpu.utils.compile_cache import configure  # noqa: E402
+
+configure(jax, flavor="tpu")
 
 import jax.numpy as jnp
 import numpy as np
