@@ -19,6 +19,7 @@ classes — same bytes on the wire.
 
 from __future__ import annotations
 
+import asyncio
 import logging
 import queue
 import threading
@@ -73,14 +74,26 @@ def parse_pb_request(pb_req: llm_pb2.Request, uid: int) -> Request:
 
 
 class _CallState:
-    """One client Generation call: its outgoing queue and live tids."""
+    """One client Generation call: its outgoing queue and live tids.
 
-    __slots__ = ("out_queue", "tid_to_client_id", "pending")
+    With ``loop`` (grpc.aio frontend) the queue is an asyncio.Queue and
+    producers — the generate thread, via ``GRPCConnection.send`` — post
+    through ``call_soon_threadsafe``; without it (threaded frontend) a
+    thread-safe SimpleQueue is consumed by a blocking pool thread."""
 
-    def __init__(self):
-        self.out_queue: "queue.SimpleQueue" = queue.SimpleQueue()
+    __slots__ = ("out_queue", "tid_to_client_id", "pending", "_loop")
+
+    def __init__(self, loop: Optional[asyncio.AbstractEventLoop] = None):
+        self._loop = loop
+        self.out_queue = asyncio.Queue() if loop else queue.SimpleQueue()
         self.tid_to_client_id: Dict[int, int] = {}
         self.pending = 0
+
+    def put(self, item) -> None:
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self.out_queue.put_nowait, item)
+        else:
+            self.out_queue.put(item)
 
 
 class GRPCConnection(Connection):
@@ -147,9 +160,9 @@ class GRPCConnection(Connection):
                     if self._finish_tid(call, rsp.id):
                         done_calls.append(call)
         for call, batched in grouped.values():
-            call.out_queue.put(batched)
+            call.put(batched)
         for call in done_calls:
-            call.out_queue.put(None)  # end-of-stream sentinel
+            call.put(None)  # end-of-stream sentinel
 
     def notify_failure(self, tid: int, rc: int = 1, msg: str = "") -> None:
         with self._lock:
@@ -162,9 +175,9 @@ class GRPCConnection(Connection):
             pb.status = llm_pb2.FAILED
             pb.generated = msg
             done = self._finish_tid(call, tid)
-        call.out_queue.put(batched)
+        call.put(batched)
         if done:
-            call.out_queue.put(None)
+            call.put(None)
 
 
 class GRPCServer:
@@ -247,3 +260,105 @@ class GRPCServer:
 
     def stop(self, grace: float = 1.0) -> None:
         self._server.stop(grace)
+
+
+class AsyncGRPCServer:
+    """grpc.aio frontend: one coroutine per live stream.
+
+    The threaded ``GRPCServer`` parks a pool thread per concurrent
+    stream for its whole lifetime — correct, but a 1024-stream
+    canonical run allocates 1024 blocked threads. This is the idiomatic
+    equivalent of the reference's async completion-queue event loop
+    (``grpc_server.h:113-121``): stream concurrency costs one
+    asyncio task + one Queue each, no thread.
+
+    The event loop runs in a dedicated daemon thread so the (sync)
+    server tool and tests keep the same init()/start()/loop()/stop()
+    interface; grpc.aio objects are created INSIDE that loop (aio
+    channels/servers bind to the loop current at construction time).
+    The generate thread posts responses via
+    ``loop.call_soon_threadsafe`` (see ``_CallState.put``).
+    """
+
+    def __init__(self, conn: GRPCConnection,
+                 process_func: Callable[[Request], None],
+                 on_disconnected_func: Callable[[int], None],
+                 max_workers: int = 0):  # accepted for interface parity
+        self._conn = conn
+        self._process = process_func
+        self._on_disconnected = on_disconnected_func
+        self._uid_seq = 0
+        self._uid_lock = threading.Lock()
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._loop_thread: Optional[threading.Thread] = None
+        self._server = None
+
+    def _next_uid(self) -> int:
+        with self._uid_lock:
+            self._uid_seq += 1
+            return self._uid_seq
+
+    async def _generation(self, batched_req: llm_pb2.BatchedRequest,
+                          context):
+        call = _CallState(loop=asyncio.get_running_loop())
+        if not batched_req.req:
+            return  # empty batch: close the stream, don't wait forever
+        try:
+            for pb_req in batched_req.req:
+                uid = self._next_uid()
+                self._conn.register(call, uid, pb_req.id)
+                self._process(parse_pb_request(pb_req, uid))
+            while True:
+                item = await call.out_queue.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            # normal end: drop_call returns [] (all tids finished).
+            # cancellation/disconnect: CancelledError lands on the
+            # await above and the still-live tids are canceled here
+            # (grpc_server.cc:274-295 semantics).
+            for tid in self._conn.drop_call(call):
+                logger.info("client disconnected, canceling task %d", tid)
+                self._on_disconnected(tid)
+
+    async def _create_and_bind(self, host: str, port: int) -> int:
+        self._server = grpc.aio.server(
+            options=[("grpc.max_send_message_length", 64 * 1024 * 1024),
+                     ("grpc.max_receive_message_length", 64 * 1024 * 1024)])
+        handler = grpc.method_handlers_generic_handler(
+            _SERVICE_NAME,
+            {"Generation": grpc.unary_stream_rpc_method_handler(
+                self._generation,
+                request_deserializer=llm_pb2.BatchedRequest.FromString,
+                response_serializer=llm_pb2.BatchedResponse.SerializeToString,
+            )})
+        self._server.add_generic_rpc_handlers((handler,))
+        return self._server.add_insecure_port(f"{host}:{port}")
+
+    def init(self, host: str, port: int) -> int:
+        self._loop = asyncio.new_event_loop()
+        self._loop_thread = threading.Thread(
+            target=self._loop.run_forever, name="grpc-aio-loop", daemon=True)
+        self._loop_thread.start()
+        bound = asyncio.run_coroutine_threadsafe(
+            self._create_and_bind(host, port), self._loop).result()
+        if bound == 0:
+            raise RuntimeError(f"failed to bind {host}:{port}")
+        return bound
+
+    def start(self) -> None:
+        asyncio.run_coroutine_threadsafe(
+            self._server.start(), self._loop).result()
+
+    def loop(self) -> None:
+        self.start()
+        logger.info("gRPC server listening")
+        asyncio.run_coroutine_threadsafe(
+            self._server.wait_for_termination(), self._loop).result()
+
+    def stop(self, grace: float = 1.0) -> None:
+        asyncio.run_coroutine_threadsafe(
+            self._server.stop(grace), self._loop).result()
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._loop_thread.join(timeout=10)

@@ -9,7 +9,8 @@ import pytest
 
 from ppl.llm.serving_tpu.generator import LLMGenerator
 from ppl.llm.serving_tpu.resources import create_engine
-from ppl.llm.serving_tpu.serving.grpc_server import (GRPCConnection,
+from ppl.llm.serving_tpu.serving.grpc_server import (AsyncGRPCServer,
+                                                     GRPCConnection,
                                                      GRPCServer,
                                                      parse_pb_request)
 from ppl.llm.serving_tpu.serving.proto import llm_pb2
@@ -20,8 +21,9 @@ from ppl.llm.serving_tpu.config import ResourceConfig
 GENERATION = "/ppl.llm.proto.LLMService/Generation"
 
 
-@pytest.fixture(scope="module")
-def server_port():
+@pytest.fixture(scope="module", params=[GRPCServer, AsyncGRPCServer],
+                ids=["threads", "aio"])
+def server_port(request):
     model_cfg = make_model_cfg()
     gen_cfg = make_gen_cfg()
     resource_cfg = ResourceConfig(
@@ -31,7 +33,7 @@ def server_port():
     conn = GRPCConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(),
                              conn, kv_max)
-    server = GRPCServer(conn, generator.process, generator.clear_task)
+    server = request.param(conn, generator.process, generator.clear_task)
     port = server.init("127.0.0.1", 0)
     server.start()
     yield port
@@ -166,7 +168,9 @@ class TestParsePbRequest:
         assert req.stop_tokens == {7, 8}
 
 
-def test_concurrent_streams_beyond_small_worker_pools():
+@pytest.mark.parametrize("server_cls", [GRPCServer, AsyncGRPCServer],
+                         ids=["threads", "aio"])
+def test_concurrent_streams_beyond_small_worker_pools(server_cls):
     """Streams are admitted CONCURRENTLY, not serialized by the gRPC
     thread pool: each unary_stream handler parks a pool thread for its
     whole stream, so an undersized pool (the old max_workers=16 default)
@@ -187,7 +191,7 @@ def test_concurrent_streams_beyond_small_worker_pools():
     conn = GRPCConnection()
     generator = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(),
                              conn, kv_max)
-    server = GRPCServer(conn, generator.process, generator.clear_task)
+    server = server_cls(conn, generator.process, generator.clear_task)
     port = server.init("127.0.0.1", 0)
     server.start()
     first_ts, last_ts = {}, {}
@@ -211,7 +215,11 @@ def test_concurrent_streams_beyond_small_worker_pools():
         for t in threads:
             t.join(timeout=300)
         assert len(first_ts) == n and len(last_ts) == n
-        assert max(first_ts.values()) < min(last_ts.values()), (
+        # 0.2s tolerance: client-side timestamps of one step's flushed
+        # sends can reorder by milliseconds under CPU load; the
+        # serialized failure mode gaps by a whole stream's generation
+        # time (seconds)
+        assert max(first_ts.values()) < min(last_ts.values()) + 0.2, (
             "some stream finished before another even started: stream "
             "ingestion is serialized")
     finally:

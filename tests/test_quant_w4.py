@@ -18,7 +18,11 @@ from test_quant import CFG, SPEC, prefill_input
 class TestInt4Pack:
     def test_pack_unpack_roundtrip(self):
         w = jax.random.normal(jax.random.PRNGKey(0), (256, 64))
-        packed, scale = Q.quantize_weight_int4(w, group=128)
+        # search_steps=0 = pure absmax RTN: max error bounded by the
+        # grid step (the MSE scale search trades bounded outlier
+        # clipping for lower mean error — tested separately below)
+        packed, scale = Q.quantize_weight_int4(w, group=128,
+                                               search_steps=0)
         assert packed.shape == (128, 64) and packed.dtype == jnp.int8
         assert scale.shape == (2, 64)
         unpacked = Q.unpack_int4(packed)
@@ -29,6 +33,21 @@ class TestInt4Pack:
                * scale[:, None, :]).reshape(256, 64)
         rel = jnp.abs(deq - w).max() / jnp.abs(w).max()
         assert rel < 0.1, rel
+
+    def test_scale_search_reduces_mse(self):
+        """The per-group MSE scale search must never lose to plain RTN
+        (k=1.0 is always a candidate), and on gaussian weights it wins."""
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 64))
+
+        def mse(steps):
+            packed, scale = Q.quantize_weight_int4(w, group=64,
+                                                   search_steps=steps)
+            deq = (Q.unpack_int4(packed).astype(jnp.float32)
+                   .reshape(4, 64, 64) * scale[:, None, :]).reshape(256, 64)
+            return float(jnp.mean((deq - w) ** 2))
+
+        rtn, searched = mse(0), mse(12)
+        assert searched < rtn * 0.95, (searched, rtn)
 
     def test_group_autoshrink(self):
         # D=64 cannot hold a 128-group; shrinks until it divides D//2

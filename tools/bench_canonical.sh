@@ -62,9 +62,9 @@ EOF
   # batch actually REACH 189+ (round-3 run 3: engine fail-all, 148
   # failed requests). 128 + a 96k-token pool fits.
   KV_TOKENS=${KV_TOKENS:-98304}
-  # --validate-bucket-grid: compile the extreme decode bucket at startup
-  # and clamp (never mid-serving fail-all) if it cannot fit
-  EXTRA="--max-running-batch 128 --max-prefill-batch 64 --validate-bucket-grid"
+  # (bucket-grid validation is ON by default: the extreme decode bucket
+  # compiles at startup and clamps — never a mid-serving fail-all)
+  EXTRA="--max-running-batch 128 --max-prefill-batch 64"
   BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,128"
 fi
 

@@ -13,7 +13,9 @@ from common import add_generator_args, add_model_args, build_configs, \
 
 from ppl.llm.serving_tpu.generator import LLMGenerator
 from ppl.llm.serving_tpu.resources import create_engine
-from ppl.llm.serving_tpu.serving.grpc_server import GRPCConnection, GRPCServer
+from ppl.llm.serving_tpu.serving.grpc_server import (AsyncGRPCServer,
+                                                     GRPCConnection,
+                                                     GRPCServer)
 from ppl.llm.serving_tpu.tokenizer import create_tokenizer
 
 
@@ -31,9 +33,15 @@ def main():
                              "fail-all on the first visit to an "
                              "oversized bucket)")
     parser.add_argument("--grpc-max-workers", type=int, default=1024,
-                        help="max CONCURRENT client streams: each "
-                             "streaming call holds a pool thread for "
-                             "its lifetime")
+                        help="threads impl only — max CONCURRENT client "
+                             "streams: each streaming call holds a pool "
+                             "thread for its lifetime")
+    parser.add_argument("--grpc-impl", default="aio",
+                        choices=["aio", "threads"],
+                        help="aio: one coroutine per stream (unbounded "
+                             "stream concurrency, the reference's "
+                             "async-CQ equivalent); threads: one parked "
+                             "pool thread per stream")
     # multi-host (north-star): same command on every host; host 0 becomes
     # the controller + frontend, the rest execute plans in lockstep
     parser.add_argument("--coordinator-address", default=None,
@@ -149,7 +157,9 @@ def main():
     if args.monitor_port:
         from ppl.llm.serving_tpu.serving.metrics import MetricsServer
         MetricsServer(profiler, args.monitor_port).start()
-    server = GRPCServer(conn, generator.process, generator.clear_task,
+    server_cls = (AsyncGRPCServer if args.grpc_impl == "aio"
+                  else GRPCServer)
+    server = server_cls(conn, generator.process, generator.clear_task,
                         max_workers=args.grpc_max_workers)
     server.init(args.host, args.port)
     print(f"[INFO] listening on {args.host}:{args.port}", flush=True)
