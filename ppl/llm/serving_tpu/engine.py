@@ -161,6 +161,9 @@ class LLMEngine:
 
         self.batch_buckets = tuple(resource_cfg.batch_buckets)
         self.token_buckets = tuple(resource_cfg.token_buckets)
+        # per-token-bucket prefill row-width caps discovered by
+        # validate_bucket_grid (0 = bucket unservable even at one row)
+        self.max_prefill_rows: Dict[int, int] = {}
         self.max_kv_pages = max(
             1, -(-GeneratorConfig().max_total_tokens_per_request
                  // spec.page_size))
@@ -375,9 +378,11 @@ class LLMEngine:
         return n_ok
 
     def validate_bucket_grid(self, max_total_tokens_per_request: int,
-                             max_running_batch: int) -> int:
-        """Compile the EXTREME decode-bucket programs BEFORE serving and
-        clamp the batch-bucket table to what actually fits device memory.
+                             max_running_batch: int,
+                             max_tokens_per_step: int = 0) -> int:
+        """Compile the EXTREME decode- and mixed-prefill-bucket programs
+        BEFORE serving and clamp the bucket tables to what actually fits
+        device memory.
 
         Round-3 canonical run: the 256-batch decode bucket compiled a
         17.56 GB program the first time the running batch reached 189
@@ -386,6 +391,14 @@ class LLMEngine:
         ``llm_generator.cc:681-688``). A bucket grid is configuration,
         not traffic: validate it at startup, fail the BUCKET (drop it,
         clamp ``max_running_batch``) instead of the users.
+
+        With ``max_tokens_per_step`` given, also compiles — per token
+        bucket — the widest mixed program admission can form under the
+        padded-wave budget (``padded_prefill_tokens``) next to the
+        largest decode bucket; a token bucket whose minimal (one-row)
+        program cannot compile is dropped from the grid. Round-4
+        canonical run 1 OOM'd exactly there: a 64x4096 padded prefill
+        wave the decode-only validation never saw.
 
         Returns the clamped max running batch (== the largest surviving
         batch bucket, or the input if all buckets fit).
@@ -421,7 +434,74 @@ class LLMEngine:
                 "max_running_batch", bucket, kvp)
             clamped = min(clamped, max(keep) if keep else 1)
         self.batch_buckets = tuple(keep) if keep else self.batch_buckets
+
+        if max_tokens_per_step:
+            bd_max = max(self.batch_buckets)
+            for qp in sorted(self.token_buckets):
+                # row buckets admission can pair with this token bucket
+                # under the padded-wave budget (generator check_func),
+                # widest first; always at least try one row
+                rbs = sorted((rb for rb in _PREFILL_ROW_BUCKETS
+                              if rb >= 1 and rb * qp <= max_tokens_per_step),
+                             reverse=True) or [1]
+                if qp > max_tokens_per_step:
+                    # only single-row waves can ever use this bucket
+                    rbs = [1]
+                for rb in rbs:
+                    key = (1, False, bd_max, rb, qp, kvp, False, False)
+                    if self.prewarm([key]) == 1:
+                        if rb != rbs[0]:
+                            logger.error(
+                                "bucket grid: mixed program (bd %d, qp "
+                                "%d, kvp %d) only compiles up to %d "
+                                "prefill rows — capping the wave width "
+                                "for this token bucket", bd_max, qp,
+                                kvp, rb)
+                            self.max_prefill_rows[qp] = rb
+                        break
+                else:
+                    # not even one row fits next to the largest decode
+                    # bucket: requests this long cannot be served at
+                    # this config — admission fails them fast via the
+                    # row cap of 0 (padded_prefill_tokens -> unservable)
+                    logger.error(
+                        "bucket grid: token bucket %d does not compile "
+                        "even at one prefill row — prompts bucketing "
+                        "there will be rejected", qp)
+                    self.max_prefill_rows[qp] = 0
+
         return min(clamped, max_running_batch)
+
+    def padded_prefill_tokens(self, n_rows: int, max_chunk_len: int) -> int:
+        """The PADDED prefill footprint the compiled plan will actually
+        have: row bucket x token bucket (``build_plan``'s bp/qp choice).
+
+        Admission must bound this, not just the sum of real prompt
+        lengths: every prefill row in a wave pads to the wave's largest
+        token bucket, so one long prompt in a wide wave multiplies —
+        the round-4 canonical run packed 64 rows x 4096-token bucket
+        (262k padded rows, vs ~8k real tokens) into one tinyllama step
+        program and compile-OOM'd at 17.33 GB mid-serving.
+
+        Returns a huge sentinel when ``validate_bucket_grid`` capped
+        this token bucket's row width below the wave (the wave must
+        shrink; with cap >= 1 a one-row wave always passes, so the FIFO
+        head cannot starve)."""
+        if n_rows <= 0:
+            return 0
+        qp = _bucket(max_chunk_len, self.token_buckets)
+        rb = _bucket(n_rows, _PREFILL_ROW_BUCKETS)
+        cap = self.max_prefill_rows.get(qp)
+        if cap is not None and rb > cap:
+            return 1 << 62
+        return rb * qp
+
+    def prompt_row_cap(self, chunk_len: int) -> Optional[int]:
+        """validate_bucket_grid's row-width cap for the token bucket
+        ``chunk_len`` lands in (None = uncapped; 0 = unservable — the
+        mixed program OOMs even at one prefill row)."""
+        return self.max_prefill_rows.get(
+            _bucket(chunk_len, self.token_buckets))
 
     def _kvp_bucket(self, max_pages: int) -> int:
         b = 1

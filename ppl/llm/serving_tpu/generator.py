@@ -65,6 +65,7 @@ class _CheckResult:
                                       else running_tokens)
         self.running_batch = running_batch
         self.prefill_batch = 0
+        self.max_prefill_chunk = 0
 
     def reset_request(self) -> None:
         self.cache_index = INVALID_INDEX
@@ -604,8 +605,31 @@ class LLMGenerator:
             # with chunked prefill only the first chunk lands this step
             step_cost = (min(res.first_fill_len, cfg.prefill_chunk_tokens)
                          if cfg.prefill_chunk_tokens else res.first_fill_len)
+            # startup grid validation can mark a token bucket unservable
+            # (its mixed program OOMs even at one prefill row): fail
+            # those prompts fast too, never stash them
+            if self.engine.prompt_row_cap(step_cost) == 0:
+                res.errmsg = (
+                    f"id [{lreq.orig.id}] prompt len "
+                    f"{res.first_fill_len} lands in a token bucket "
+                    f"whose step program does not fit device memory")
+                res.first_fill_len = -1
+                logger.error("%s", res.errmsg)
+                return True  # admitted to fail fast in _parse_request
             res.total_tokens_per_step += step_cost
             if res.total_tokens_per_step > cfg.max_tokens_per_step:
+                res.total_tokens_per_step -= step_cost
+                return False
+            # bound the PADDED wave footprint too (row bucket x token
+            # bucket — what the step program is actually compiled at):
+            # one long prompt joining a wide wave drags every row to its
+            # token bucket; unbounded, that packed a 17.33 GB program
+            # (engine.padded_prefill_tokens). The refused request stays
+            # first in the FIFO and leads the next, narrower wave.
+            if self.engine.padded_prefill_tokens(
+                    res.prefill_batch + 1,
+                    max(res.max_prefill_chunk, step_cost)
+            ) > cfg.max_tokens_per_step:
                 res.total_tokens_per_step -= step_cost
                 return False
             if not self._check_and_alloc_memory(lreq.orig, res):
@@ -613,6 +637,7 @@ class LLMGenerator:
                 return False
             res.running_batch += 1
             res.prefill_batch += 1
+            res.max_prefill_chunk = max(res.max_prefill_chunk, step_cost)
             return True
 
         while True:

@@ -138,3 +138,51 @@ def test_validate_bucket_grid_clamps_on_failure(monkeypatch):
     engine4, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
     assert engine4.validate_bucket_grid(64, 12) == 12
     assert engine4.batch_buckets == (4, 8, 16)
+
+
+def test_validate_bucket_grid_caps_mixed_prefill_rows(monkeypatch):
+    """With max_tokens_per_step given, validation also compiles the
+    widest admissible mixed (prefill+decode) program per token bucket;
+    a width that fails steps down to a compilable row cap, and a bucket
+    failing even at one row is marked unservable (cap 0)."""
+    from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
+                                            ResourceConfig)
+    from ppl.llm.serving_tpu.resources import create_engine
+    model_cfg = ModelConfig(
+        hidden_dim=64, intermediate_dim=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=256, cache_mode=1, page_size=16,
+        dtype="float32")
+    resource_cfg = ResourceConfig(
+        model_format="random", kv_cache_max_tokens=2048,
+        token_buckets=(32, 64), batch_buckets=(4, 8))
+    gen_cfg = GeneratorConfig(max_running_batch=8, max_prefill_batch=4,
+                              max_tokens_per_step=128,
+                              max_total_tokens_per_request=64)
+    engine, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+
+    real_prewarm = engine.prewarm
+
+    def fake_prewarm(keys):
+        # simulate: qp=64 programs fit only at bp<=1; qp=32 fits wide
+        if any(int(k[4]) == 64 and int(k[3]) > 1 for k in keys):
+            return 0
+        return real_prewarm(keys)
+
+    monkeypatch.setattr(engine, "prewarm", fake_prewarm)
+    assert engine.validate_bucket_grid(64, 8, 128) == 8
+    assert engine.max_prefill_rows.get(64) == 1
+    assert 32 not in engine.max_prefill_rows       # widest width passed
+    # admission sees the cap through the padded-footprint sentinel
+    assert engine.padded_prefill_tokens(2, 40) > 10 ** 12
+    assert engine.padded_prefill_tokens(1, 40) == 64
+
+    # a bucket failing even at one row -> unservable (cap 0)
+    engine2, _ = create_engine(model_cfg, resource_cfg, gen_cfg)
+    real2 = engine2.prewarm
+    monkeypatch.setattr(
+        engine2, "prewarm",
+        lambda keys: 0 if any(int(k[4]) == 64 for k in keys)
+        else real2(keys))
+    engine2.validate_bucket_grid(64, 8, 128)
+    assert engine2.max_prefill_rows.get(64) == 0
+    assert engine2.prompt_row_cap(40) == 0

@@ -48,7 +48,9 @@ elif [ "$MODEL" = "7b" ]; then
 EOF
   KV_TOKENS=${KV_TOKENS:-16384}
   EXTRA="--quantize-lm-head --max-running-batch 64 --max-prefill-batch 32"
-  BUCKETS="--token-buckets 1024,4096 --batch-buckets 32,64"
+  # finer token buckets bound padding waste on ShareGPT-length prompts
+  # (mean ~200 tok: bucket 256 instead of 1024 = 4x less padded prefill)
+  BUCKETS="--token-buckets 256,512,1024,2048,4096 --batch-buckets 32,64"
 else
   cat > "$PARAMS" <<EOF
 {"num_heads": 32, "num_kv_heads": 4, "num_layers": 22,
@@ -62,10 +64,13 @@ EOF
   # batch actually REACH 189+ (round-3 run 3: engine fail-all, 148
   # failed requests). 128 + a 96k-token pool fits.
   KV_TOKENS=${KV_TOKENS:-98304}
-  # (bucket-grid validation is ON by default: the extreme decode bucket
-  # compiles at startup and clamps — never a mid-serving fail-all)
+  # (bucket-grid validation is ON by default: the extreme decode AND
+  # mixed-prefill buckets compile at startup and clamp — never a
+  # mid-serving fail-all)
   EXTRA="--max-running-batch 128 --max-prefill-batch 64"
-  BUCKETS="--token-buckets 1024,4096,8192 --batch-buckets 64,128"
+  # finer token buckets bound padding waste on ShareGPT-length prompts
+  # (mean ~200 tok: bucket 256 instead of 1024 = 4x less padded prefill)
+  BUCKETS="--token-buckets 256,512,1024,2048,4096 --batch-buckets 64,128"
 fi
 
 # WORKLOAD=sharegpt (default): length-matched to the reference's

@@ -134,7 +134,8 @@ def main():
         if args.validate_bucket_grid:
             clamped = engine.validate_bucket_grid(
                 gen_cfg.max_total_tokens_per_request,
-                gen_cfg.max_running_batch)
+                gen_cfg.max_running_batch,
+                gen_cfg.max_tokens_per_step)
             if clamped < gen_cfg.max_running_batch:
                 print(f"[WARN] bucket grid clamped: max_running_batch "
                       f"{gen_cfg.max_running_batch} -> {clamped} "
