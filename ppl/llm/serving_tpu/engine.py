@@ -405,6 +405,10 @@ class LLMEngine:
         """
         pages_per_req = -(-max_total_tokens_per_request
                           // self.spec.page_size)
+        # align the pinned production page-table width (build_plan) with
+        # the shapes validated here — the generator sets the same value
+        # from the same config field at construction
+        self.set_max_kv_pages(pages_per_req)
         kvp = self._kvp_bucket(pages_per_req)
         n_steps = self._multi_step if self._multi_step > 1 else 1
         clamped = max_running_batch
@@ -559,12 +563,17 @@ class LLMEngine:
         qp = (_bucket(max(len(tasks[i].next_tokens)
                           for i in prefill_idx), self.token_buckets)
               if prefill_idx else self.token_buckets[0])
-        max_pages = 1
-        for t in tasks:
-            need = -(-(t.start_pos + len(t.next_tokens) + n_steps - 1)
-                     // self.spec.page_size)
-            max_pages = max(max_pages, need)
-        kvp = self._kvp_bucket(max_pages)
+        # Page-table width is PINNED to the config maximum, not bucketed
+        # by traffic: the kernels' page walks are data-dependent
+        # (fori_loop to cdiv(ctx, page_size)), so a wider table costs
+        # only SMEM rows and a slightly larger packed plan — while a
+        # traffic-bucketed width multiplied the compiled-shape grid by
+        # 4x kvp variants, each first visited MID-SERVING at
+        # minutes-per-compile on the tunnel (round-4 canonical warm ramp
+        # spent ~25 min compiling kvp variants of already-validated
+        # batch shapes). One width = startup validation covers exactly
+        # the production shapes.
+        kvp = self._kvp_bucket(self.max_kv_pages)
 
         b = bd + bp
         trash_page = self.spec.trash_page

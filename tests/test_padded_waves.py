@@ -41,6 +41,24 @@ def test_wave_padding_is_bounded():
         gen.shutdown()
 
 
+def test_page_table_width_is_pinned():
+    """kvp is the config maximum, independent of traffic: page walks
+    are data-dependent, so one table width = one compiled shape per
+    (bd, bp, qp) instead of 4x first-visit kvp variants mid-serving."""
+    from ppl.llm.serving_tpu.engine import TaskState
+    gen, conn = build()
+    try:
+        eng = gen.engine
+        short = TaskState(tid=1, next_tokens=[5], rest_iters=4,
+                          page_list=[0], total_len=6)
+        plan = eng.build_plan([short])
+        expect = eng._kvp_bucket(eng.max_kv_pages)
+        assert plan["arrays"]["page_table"].shape[1] == expect
+        assert expect >= 12  # max_total 192 / page 16
+    finally:
+        gen.shutdown()
+
+
 def test_padded_prefill_tokens_formula():
     gen, conn = build(resource_kw=dict(token_buckets=(32, 256),
                                        batch_buckets=(4, 16)))
