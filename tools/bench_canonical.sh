@@ -108,12 +108,14 @@ SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null' EXIT
 
 echo "waiting for server (pid $SERVER_PID, log $SERVER_LOG)..."
-for i in $(seq 1 600); do
+# cold grid validation compiles through the tunnel run ~20 min; allow 60
+for i in $(seq 1 1800); do
   grep -q "listening" "$SERVER_LOG" && break
   kill -0 $SERVER_PID 2>/dev/null || { tail -5 "$SERVER_LOG"; exit 1; }
   sleep 2
 done
 grep -q "listening" "$SERVER_LOG" || { echo "server never came up"; exit 1; }
+echo "server listening after $((i * 2))s"
 
 # warm the compiled-shape grid before measuring. The pass must reach the
 # same running-batch / page-bucket shapes as the measured run, or fresh
@@ -123,9 +125,18 @@ grep -q "listening" "$SERVER_LOG" || { echo "server never came up"; exit 1; }
 ES_FLAG=""
 [ "$EARLY" = "1" ] && ES_FLAG="--early-stopping"
 WARMREQ=${WARMREQ:-$NREQ}
+WARM_LOG=/tmp/canonical_warm_${TAG}.log
 python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
   --dataset "$SAMPLES" --num-requests "$WARMREQ" --request-rate inf \
-  --token-in-out $ES_FLAG > /dev/null 2>&1
+  --token-in-out $ES_FLAG > "$WARM_LOG" 2>&1
+grep -E "finished|tokens out" "$WARM_LOG"
+# a warm pass with failures means the grid/backend is broken — the
+# measured pass would only produce another diagnostic number
+if ! grep -qE "\(failed 0\)" "$WARM_LOG"; then
+  echo "ABORT: warm pass had failures (see $WARM_LOG, $SERVER_LOG)"
+  kill $SERVER_PID 2>/dev/null; wait $SERVER_PID 2>/dev/null; trap - EXIT
+  exit 1
+fi
 
 python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
   --dataset "$SAMPLES" --num-requests "$NREQ" --request-rate "$RATE" \
