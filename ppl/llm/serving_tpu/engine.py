@@ -164,6 +164,7 @@ class LLMEngine:
         # per-token-bucket prefill row-width caps discovered by
         # validate_bucket_grid (0 = bucket unservable even at one row)
         self.max_prefill_rows: Dict[int, int] = {}
+        self._aot_dir = ""   # set_aot_dir: serialized-executable store
         self.max_kv_pages = max(
             1, -(-GeneratorConfig().max_total_tokens_per_request
                  // spec.page_size))
@@ -206,6 +207,10 @@ class LLMEngine:
         fn = self._packed_cache.get(key)
         if fn is not None:
             return fn
+        loaded = self._aot_load(key)
+        if loaded is not None:
+            self._packed_cache[key] = loaded
+            return loaded
         b = bd + bp
         kwargs = dict(self._step_kwargs, greedy_only=greedy)
         if n_steps > 1:
@@ -297,6 +302,88 @@ class LLMEngine:
                 logger.warning("manifest save failed: %s", e)
         return fn
 
+    # -- AOT executable store ------------------------------------------------
+    #
+    # The persistent XLA cache skips the COMPILE on restart, but the jit
+    # path still re-traces and re-lowers every program — ~60 s of host
+    # work per 16-step unrolled block (22 layers x 16 steps inline), so
+    # a warm canonical-server start still costs tens of minutes. The
+    # reference sidesteps all of this by uploading pre-compiled pmx
+    # slices (resource_manager.cc:278-290); this store is the TPU
+    # equivalent: prewarm serializes each compiled executable
+    # (jax.experimental.serialize_executable), and later starts
+    # deserialize it straight into the dispatch cache — no tracing, no
+    # lowering, no compile.
+
+    def set_aot_dir(self, path: str) -> None:
+        import os
+        if path and (self.mesh is not None
+                     or jax.local_device_count() != 1):
+            # a deserialized executable loads with the client's default
+            # device assignment: on a multi-device backend a 1-device
+            # program comes back expecting one shard per local device
+            # (reproduced on the 8-device CPU test mesh). Production is
+            # one chip per process; for TP meshes the jit path stands.
+            logger.info("AOT store disabled: %d local devices / mesh=%s",
+                        jax.local_device_count(), self.mesh)
+            path = ""
+        self._aot_dir = path
+        if path:
+            os.makedirs(path, exist_ok=True)
+
+    def _aot_name(self, key) -> str:
+        import hashlib
+        import os
+        cfg = self.model_cfg
+        fp = repr((tuple(key), sorted(cfg.__dict__.items()),
+                   self._multi_step, self._block_tail,
+                   sorted((k, repr(v))
+                          for k, v in self._step_kwargs.items()),
+                   jax.__version__, jax.default_backend()))
+        h = hashlib.sha1(fp.encode()).hexdigest()[:20]
+        return os.path.join(self._aot_dir, f"step_{h}.aotx")
+
+    def _aot_load(self, key):
+        if not getattr(self, "_aot_dir", None):
+            return None
+        import os
+        import pickle
+        path = self._aot_name(key)
+        if not os.path.exists(path):
+            return None
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load)
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            fn = deserialize_and_load(payload, in_tree, out_tree)
+            logger.info("AOT-loaded step program %s (%s)", key, path)
+            return fn
+        except Exception as e:  # stale jax/device/format: fall back
+            logger.warning("AOT load failed for %s (%s) — falling back "
+                           "to jit: %s", key, path, e)
+            return None
+
+    def _aot_save(self, key, compiled) -> None:
+        if not getattr(self, "_aot_dir", None):
+            return
+        import os
+        import pickle
+        path = self._aot_name(key)
+        if os.path.exists(path):
+            return
+        try:
+            from jax.experimental.serialize_executable import serialize
+            payload, in_tree, out_tree = serialize(compiled)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree), f)
+            os.replace(tmp, path)
+            logger.info("AOT-saved step program %s (%d MB)", key,
+                        len(payload) >> 20)
+        except Exception as e:  # non-fatal: the jit path still works
+            logger.warning("AOT save failed for %s: %s", key, e)
+
     # -- compile manifest / pre-warm -----------------------------------------
 
     def compiled_keys(self) -> List[Tuple]:
@@ -330,7 +417,22 @@ class LLMEngine:
                 keys = json.load(f)["keys"]
         except (OSError, ValueError, KeyError):
             return 0
-        return self.prewarm(keys)
+        # drop keys build_plan can no longer produce: the page-table
+        # width is pinned (one kvp per config), so a manifest written
+        # under a different pin would prewarm minutes of unreachable
+        # shapes through the tunnel
+        pinned = self._kvp_bucket(self.max_kv_pages)
+        live, stale = [], 0
+        for key in keys:
+            if (isinstance(key, (list, tuple)) and len(key) == 8
+                    and key[5] != pinned):
+                stale += 1
+                continue
+            live.append(key)
+        if stale:
+            logger.info("prewarm: skipping %d manifest keys with "
+                        "unpinned page-table width (!= %d)", stale, pinned)
+        return self.prewarm(live)
 
     def prewarm(self, keys) -> int:
         """AOT-compile step programs for ``keys`` (the tuples from
@@ -358,6 +460,9 @@ class LLMEngine:
                 fn = self._get_packed_runner(
                     int(n_steps), bool(feed), int(bd), int(bp), int(qp),
                     int(kvp), greedy=bool(greedy), cont=bool(cont))
+                if not hasattr(fn, "lower"):
+                    n_ok += 1     # AOT-loaded executable: already warm
+                    continue
                 b = bd + bp
                 packed_len = (2 * bd + bp * qp + 2 * bp + b * kvp + 9 * b)
                 args = (jax.tree.map(aval, self._params),
@@ -371,7 +476,15 @@ class LLMEngine:
                     args += (jax.ShapeDtypeStruct((bd,), jnp.int32), rng_a)
                 else:
                     args += (rng_a,)
-                fn.lower(*args).compile()
+                compiled = fn.lower(*args).compile()
+                k = (int(n_steps), bool(feed), int(bd), int(bp), int(qp),
+                     int(kvp), bool(greedy), bool(cont))
+                self._aot_save(k, compiled)
+                # dispatch through the compiled executable directly:
+                # the jit wrapper would re-trace + re-lower the whole
+                # unrolled block on its first real call (~60 s of host
+                # work each) even though the compile itself is cached
+                self._packed_cache[k] = compiled
                 n_ok += 1
             except Exception as e:  # stale manifest entries are non-fatal
                 logger.warning("prewarm skipped key %s: %s", key, e)

@@ -78,6 +78,73 @@ def test_prewarm_skips_stale_keys(tmp_path):
         gen.shutdown()
 
 
+def test_aot_store_disabled_on_multidevice_backend(tmp_path):
+    """On the 8-device CPU test mesh the store must refuse to engage:
+    deserialized executables load with the client's default device
+    assignment and would expect one shard per local device."""
+    gen, conn = build()
+    try:
+        gen.engine.set_aot_dir(str(tmp_path / "aot"))
+        assert gen.engine._aot_dir == ""
+    finally:
+        gen.shutdown()
+
+
+_AOT_SUBPROC = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)          # single CPU device
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {testdir!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from test_generator_e2e import build, req, run
+
+aot, manifest = {aot!r}, {manifest!r}
+gen, conn = build()
+gen.engine.set_aot_dir(aot)
+assert gen.engine._aot_dir == aot, "store must engage on 1 device"
+run(gen, conn, [req(1, prompt="aot roundtrip", gen_len=12)])
+tokens_first = list(conn.tokens[1])
+keys = gen.engine.compiled_keys()
+gen.engine.save_compile_manifest(manifest)
+n = gen.engine.prewarm(keys)
+assert n == len(keys)
+gen.shutdown()
+saved = [f for f in os.listdir(aot) if f.endswith(".aotx")]
+assert len(saved) == len(keys), (saved, keys)
+
+gen2, conn2 = build()
+gen2.engine.set_aot_dir(aot)
+n = gen2.engine.prewarm_from_manifest(manifest)
+assert n == len(keys)
+for k in keys:
+    fn = gen2.engine._packed_cache[tuple(k)]
+    assert not hasattr(fn, "lower"), ("jit wrapper, not AOT", k)
+run(gen2, conn2, [req(1, prompt="aot roundtrip", gen_len=12)])
+assert list(conn2.tokens[1]) == tokens_first, (
+    conn2.tokens[1], tokens_first)
+print("AOT-ROUNDTRIP-OK")
+"""
+
+
+def test_aot_executable_store_roundtrip(tmp_path):
+    """prewarm serializes compiled step programs; a fresh engine loads
+    them WITHOUT tracing/lowering/compiling (the jit path is never
+    built) and produces identical tokens. Runs in a single-device
+    subprocess — the store is single-device by design."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _AOT_SUBPROC.format(
+        repo=repo, testdir=os.path.join(repo, "tests"),
+        aot=str(tmp_path / "aot"), manifest=str(tmp_path / "w.json"))
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "AOT-ROUNDTRIP-OK" in r.stdout
+
+
 def test_validate_bucket_grid_clamps_on_failure(monkeypatch):
     """A decode bucket whose program cannot compile (e.g. HBM OOM) is
     dropped at STARTUP and max_running_batch clamps to the largest

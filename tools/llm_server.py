@@ -6,6 +6,7 @@ clients."""
 
 import argparse
 import faulthandler
+import os
 import signal
 
 from common import add_generator_args, add_model_args, build_configs, \
@@ -36,6 +37,11 @@ def main():
                         help="threads impl only — max CONCURRENT client "
                              "streams: each streaming call holds a pool "
                              "thread for its lifetime")
+    parser.add_argument("--aot-cache", default="auto",
+                        help="serialized-executable store: restarts load "
+                             "compiled step programs directly (no "
+                             "re-trace/re-lower/re-compile). 'auto' = "
+                             "<compile-cache>/aot; '' disables")
     parser.add_argument("--grpc-impl", default="aio",
                         choices=["aio", "threads"],
                         help="aio: one coroutine per stream (unbounded "
@@ -131,6 +137,12 @@ def main():
                 multihost.worker_serve(engine)
                 return
             plan_channel = multihost.controller_plan_channel
+        if args.aot_cache:
+            from ppl.llm.serving_tpu.utils.compile_cache import (
+                default_cache_dir)
+            aot = (os.path.join(default_cache_dir("tpu"), "aot")
+                   if args.aot_cache == "auto" else args.aot_cache)
+            engine.set_aot_dir(aot)
         if args.validate_bucket_grid:
             clamped = engine.validate_bucket_grid(
                 gen_cfg.max_total_tokens_per_request,
