@@ -56,7 +56,12 @@ class Stats:
         self.finish_ts = {}
         self.out_tokens = {}
         self.in_tokens = {}
-        self.failed = 0
+        self.failed_ids = set()   # a failed rid NEVER counts as done,
+                                  # even if it streamed tokens first
+
+    @property
+    def failed(self):
+        return len(self.failed_ids)
 
 
 async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out,
@@ -85,7 +90,7 @@ async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out,
             now = time.perf_counter()
             for rsp in batched_rsp.rsp:
                 if rsp.status == llm_pb2.FAILED:
-                    stats.failed += 1
+                    stats.failed_ids.add(rid)
                     stats.finish_ts[rid] = now
                     return
                 stats.first_ts.setdefault(rid, now)
@@ -93,7 +98,7 @@ async def run_one(channel, stats, rid, prompt, n_in, n_out, token_in_out,
                 if rsp.status == llm_pb2.FINISHED:
                     stats.finish_ts[rid] = now
     except grpc.RpcError:
-        stats.failed += 1
+        stats.failed_ids.add(rid)
         stats.finish_ts[rid] = time.perf_counter()
 
 
@@ -140,7 +145,8 @@ async def main_async(args):
         elapsed = time.perf_counter() - t0
 
     done = [r for r in stats.finish_ts if r in stats.first_ts
-            and stats.out_tokens.get(r, 0) > 0]
+            and stats.out_tokens.get(r, 0) > 0
+            and r not in stats.failed_ids]
     total_out = sum(stats.out_tokens[r] for r in done)
     total_in = sum(stats.in_tokens[r] for r in done)
     prefill = [(stats.first_ts[r] - stats.send_ts[r]) * 1e3 for r in done]
