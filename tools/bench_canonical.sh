@@ -67,10 +67,10 @@ EOF
   # (bucket-grid validation is ON by default: the extreme decode AND
   # mixed-prefill buckets compile at startup and clamp — never a
   # mid-serving fail-all)
-  EXTRA="--max-running-batch 128 --max-prefill-batch 64"
+  EXTRA=${EXTRA:-"--max-running-batch 128 --max-prefill-batch 64"}
   # finer token buckets bound padding waste on ShareGPT-length prompts
   # (mean ~200 tok: bucket 256 instead of 1024 = 4x less padded prefill)
-  BUCKETS="--token-buckets 256,512,1024,2048,4096 --batch-buckets 64,128"
+  BUCKETS=${BUCKETS:-"--token-buckets 256,512,1024,2048,4096 --batch-buckets 64,128"}
 fi
 
 # WORKLOAD=sharegpt (default): length-matched to the reference's
