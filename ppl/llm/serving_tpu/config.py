@@ -209,6 +209,18 @@ class GeneratorConfig:
     # in-flight dispatch on pending donated buffers; revisit on directly
     # attached chips.
     speculative_blocks: int = 1
+    # Prefill admission cadence (TPU scheduling; active when decode
+    # blocks are on): after a step that carried prefill rows, run one
+    # full pure-decode block before admitting more prefills. Under
+    # saturating arrivals (the canonical rate=inf benchmark) a pending
+    # prefill otherwise exists at EVERY step, so the engine degrades to
+    # single-step mixed programs — one host/tunnel round trip per token
+    # (measured: 476 tok/s vs the block path's thousands; decode
+    # per-token p75 186 ms vs ~6 ms). The reference admits every step
+    # (its CUDA loop is per-token anyway, llm_generator.cc:596-604);
+    # on TPU the block path IS the throughput, so admission alternates
+    # with it. TTFT cost: bounded by one block (~multi_step x step).
+    prefill_admission_cadence: bool = True
     enable_profiling: bool = False
     # profiler print cadence (loop steps); the reference prints on step 1,
     # every 100 steps, and at drain (llm_generator.cc:768-780). Set to 1

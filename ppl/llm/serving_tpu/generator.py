@@ -122,6 +122,7 @@ class LLMGenerator:
         self.profiler = WorkerProfiler()
         self._finished: "queue.SimpleQueue[Tuple[int, int]]" = queue.SimpleQueue()
         self._tid_list: List[TaskState] = []
+        self._last_step_had_prefill = False  # admission cadence state
         self._tid_map: Dict[int, TaskState] = {}
         self._decoder = ThreadPoolExecutor(max_workers=1,
                                            thread_name_prefix="detok")
@@ -468,6 +469,22 @@ class LLMGenerator:
 
     # -- dispatch ------------------------------------------------------------
 
+    def _admission_gated(self) -> bool:
+        """Prefill admission cadence (GeneratorConfig
+        ``prefill_admission_cadence``): once the running batch is
+        established (>= half ``max_running_batch``), hold new
+        admissions for one pure-decode block after every
+        prefill-carrying step, so saturating arrivals can't pin the
+        engine in single-step mixed programs (one host round trip per
+        token). While the batch is still RAMPING the gate stays open —
+        blocking 23 pending prefills to run a 1-row decode block would
+        hurt both throughput and fairness."""
+        return (self.gen_cfg.prefill_admission_cadence
+                and self.engine.multi_step_block > 1
+                and self._last_step_had_prefill
+                and len(self._tid_list)
+                >= max(1, self.gen_cfg.max_running_batch // 2))
+
     def _dispatch_next(self, tasks: List[TaskState], prof) -> Dict:
         """Dispatch the next step/block for ``tasks``.
 
@@ -480,6 +497,8 @@ class LLMGenerator:
         reuse it. (Not speculative: this runs after the previous block's
         finishes are known, so stop-token semantics are untouched.)
         """
+        self._last_step_had_prefill = any(
+            len(t.next_tokens) > 1 for t in tasks)
         sig = tuple(t.tid for t in tasks)
         last = self.engine.last_handle
         if (sig == self._last_sig and last is not None
@@ -655,7 +674,8 @@ class LLMGenerator:
                     if (self._spec_queue
                             or res.running_batch >= cfg.max_running_batch
                             or res.prefill_batch >= cfg.max_prefill_batch
-                            or self._cooldown > 0):
+                            or self._cooldown > 0
+                            or self._admission_gated()):
                         break
                     lreq = self.sched.try_pop_request(check_func)
                     if lreq is None:

@@ -182,8 +182,14 @@ def test_concurrent_streams_beyond_small_worker_pools(server_cls):
     before starting the rest."""
     n = 24
     model_cfg = make_model_cfg()
+    # cadence off: this test pins FRONTEND ingestion concurrency via
+    # token timing; the prefill-admission cadence legitimately delays a
+    # straggler's first token by one decode block (= a whole generation
+    # here, gen_len == block), which is scheduling policy, not the
+    # thread-pool serialization this test exists to catch
     gen_cfg = make_gen_cfg(max_running_batch=32, max_prefill_batch=32,
-                           max_tokens_per_step=2048)
+                           max_tokens_per_step=2048,
+                           prefill_admission_cadence=False)
     resource_cfg = ResourceConfig(
         model_format="random", kv_cache_max_tokens=4096,
         token_buckets=(32, 64, 128, 256), batch_buckets=(8, 32))

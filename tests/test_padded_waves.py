@@ -118,3 +118,21 @@ def test_unservable_bucket_fails_fast():
         assert 1 not in conn.tokens or not conn.tokens[1]
     finally:
         gen.shutdown()
+
+
+def test_prefill_admission_cadence_engages_blocks_under_load():
+    """With a saturated queue and an established batch, the engine must
+    still dispatch multi-step decode blocks (not only 1-step mixed
+    programs), and every request still finishes."""
+    gen_cfg = make_gen_cfg(max_running_batch=8, max_prefill_batch=2,
+                           max_tokens_per_step=256)
+    gen, conn = build(gen_cfg=gen_cfg, resource_kw=dict(multi_step=4))
+    try:
+        reqs = [req(i, prompt=f"load {i}", gen_len=12) for i in range(12)]
+        run(gen, conn, reqs, timeout=600)
+        for r in reqs:
+            assert len(conn.tokens[r.id]) == 12, r.id
+        blocks = [k for k in gen.engine.compiled_keys() if k[0] > 1]
+        assert blocks, "no decode-block program ever dispatched under load"
+    finally:
+        gen.shutdown()

@@ -108,6 +108,13 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
                    help="feed long prompts in chunks of at most N tokens "
                         "per step (0 = whole prompt in one step); bounds "
                         "per-step prefill work for flat decode latency")
+    p.add_argument("--prefill-admission-cadence", type=int, default=1,
+                   choices=[0, 1],
+                   help="1 (default): after a prefill-carrying step, run "
+                        "one pure-decode block before admitting more "
+                        "prefills (keeps the block path engaged under "
+                        "saturating arrivals); 0: admit every step "
+                        "(reference behavior)")
     p.add_argument("--speculative-blocks", type=int, default=1,
                    help="decode-block pipeline depth (0 disables "
                         "speculative block dispatch)")
@@ -200,6 +207,7 @@ def build_configs(args):
         enable_prefix_cache=args.enable_prefix_cache,
         enable_profiling=args.enable_profiling,
         speculative_blocks=args.speculative_blocks,
+        prefill_admission_cadence=bool(args.prefill_admission_cadence),
         prefill_chunk_tokens=args.prefill_chunk_tokens,
         trace_dir=args.jax_trace_dir,
     )
