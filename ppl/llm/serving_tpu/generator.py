@@ -534,7 +534,21 @@ class LLMGenerator:
         n = handle["n_steps"]
         blk = self.engine.multi_step_block
         base_prefill = bool(handle["prefill_idx"])
-        if (self.sched.get_pending_size() > 0
+        # Pending requests normally veto speculation (they would wait
+        # depth x blk steps for the pipeline to drain) — but once the
+        # admission cadence is holding prefills for decode blocks
+        # ANYWAY, speculating those blocks is pure win: the per-block
+        # host turnaround (fetch + bookkeeping, ~97 ms/block through
+        # the tunnel at b64 — [PERF] round 4) overlaps device compute
+        # instead of serializing with it. Correctness is unchanged:
+        # admission stays gated while the spec queue is non-empty, so
+        # no page can be reallocated under an in-flight block.
+        cadence_pipeline = (
+            self.gen_cfg.prefill_admission_cadence
+            and blk > 1
+            and len(self._tid_list)
+            >= max(1, self.gen_cfg.max_running_batch // 2))
+        if ((self.sched.get_pending_size() > 0 and not cadence_pipeline)
                 or any(t.pending_prefill for t in tasks)
                 or not self._finished.empty()
                 or not ((n > 1 and not base_prefill)
