@@ -218,6 +218,11 @@ def main():
         cache_root = default_cache_dir("tpu")
         if cache_root:
             engine.set_aot_dir(os.path.join(cache_root, "aot"))
+            # align the pinned page-table width with the bench config
+            # before prewarm (the generator sets the same value later)
+            engine.set_max_kv_pages(
+                -(-gen_cfg.max_total_tokens_per_request
+                  // model_cfg.page_size))
             manifest = os.path.join(
                 cache_root, f"bench_manifest_{model_name}-{variant}.json")
             if os.path.exists(manifest) and remaining(reserve=240) > 0:

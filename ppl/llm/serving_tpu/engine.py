@@ -335,11 +335,22 @@ class LLMEngine:
         import hashlib
         import os
         cfg = self.model_cfg
+        import jaxlib
+        try:
+            device_kind = jax.devices()[0].device_kind
+        except Exception:
+            device_kind = "unknown"
         fp = repr((tuple(key), sorted(cfg.__dict__.items()),
                    self._multi_step, self._block_tail,
                    sorted((k, repr(v))
                           for k, v in self._step_kwargs.items()),
-                   jax.__version__, jax.default_backend()))
+                   jax.__version__, jaxlib.__version__,
+                   jax.default_backend(),
+                   # a store surviving an environment change must not
+                   # deserialize an executable built for another chip:
+                   # only _aot_load is guarded, so a call-time failure
+                   # would become an engine fail-all
+                   device_kind))
         h = hashlib.sha1(fp.encode()).hexdigest()[:20]
         return os.path.join(self._aot_dir, f"step_{h}.aotx")
 

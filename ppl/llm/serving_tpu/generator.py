@@ -339,6 +339,15 @@ class LLMGenerator:
             self.conn.notify_failure(req.id, 1, res.errmsg)
             return True
 
+        cap = self.engine.top_k_cap
+        if cap and req.top_k > cap:
+            # the candidate cap bounds the set the sampling kernel sees
+            # (ResourceConfig.sampling_top_k_cap); k <= cap is exact,
+            # beyond it is clamped — documented in llm.proto (top_k) and
+            # surfaced here per request
+            logger.warning("id [%d] top_k %d exceeds sampling_top_k_cap "
+                           "%d: clamped", req.id, req.top_k, cap)
+
         t = TaskState(
             tid=req.id,
             temperature=req.temperature,
@@ -535,19 +544,20 @@ class LLMGenerator:
         blk = self.engine.multi_step_block
         base_prefill = bool(handle["prefill_idx"])
         # Pending requests normally veto speculation (they would wait
-        # depth x blk steps for the pipeline to drain) — but once the
-        # admission cadence is holding prefills for decode blocks
-        # ANYWAY, speculating those blocks is pure win: the per-block
+        # depth x blk steps for the pipeline to drain) — but while the
+        # admission cadence is holding prefills for a decode block
+        # ANYWAY, speculating that block is pure win: the per-block
         # host turnaround (fetch + bookkeeping, ~97 ms/block through
         # the tunnel at b64 — [PERF] round 4) overlaps device compute
         # instead of serializing with it. Correctness is unchanged:
         # admission stays gated while the spec queue is non-empty, so
-        # no page can be reallocated under an in-flight block.
-        cadence_pipeline = (
-            self.gen_cfg.prefill_admission_cadence
-            and blk > 1
-            and len(self._tid_list)
-            >= max(1, self.gen_cfg.max_running_batch // 2))
+        # no page can be reallocated under an in-flight block. The
+        # override applies only while the gate is ACTUALLY engaged
+        # (_admission_gated: the last step carried prefill rows) — a
+        # standing override would let speculation refill the queue
+        # every round and defer pending prefills unboundedly, breaking
+        # the cadence's one-block TTFT bound.
+        cadence_pipeline = self._admission_gated()
         if ((self.sched.get_pending_size() > 0 and not cadence_pipeline)
                 or any(t.pending_prefill for t in tasks)
                 or not self._finished.empty()
@@ -658,8 +668,14 @@ class LLMGenerator:
             # one long prompt joining a wide wave drags every row to its
             # token bucket; unbounded, that packed a 17.33 GB program
             # (engine.padded_prefill_tokens). The refused request stays
-            # first in the FIFO and leads the next, narrower wave.
-            if self.engine.padded_prefill_tokens(
+            # first in the FIFO and leads the next, narrower wave. A
+            # ONE-row wave is exempt: it has no padding multiplication,
+            # and grid validation already proved the one-row program
+            # compiles (cap >= 1; cap == 0 failed fast above) — gating
+            # it on the bucket width would refuse a prompt whose token
+            # BUCKET exceeds max_tokens_per_step forever even though
+            # its real length fits, livelocking the FIFO head.
+            if res.prefill_batch > 0 and self.engine.padded_prefill_tokens(
                     res.prefill_batch + 1,
                     max(res.max_prefill_chunk, step_cost)
             ) > cfg.max_tokens_per_step:

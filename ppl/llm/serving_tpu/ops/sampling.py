@@ -94,12 +94,14 @@ def sample_top_k_top_p(
     temperature log-softmax at the chosen token, matching the reference's
     ``sample_topk_topp`` logprob output (``post_processor.cc:190-216``).
 
-    ``top_k_cap > 0`` restricts the candidate set to the top ``cap``
-    logits via ``lax.top_k`` instead of a full-vocab sort — exact for
-    requested top_k <= cap, and the industry-standard truncation for
-    top-p (the tail mass beyond the cap is renormalized away). A full
-    [B, vocab] sort every step costs more than the decode matmuls at
-    small batch; the engine defaults the cap on (ResourceConfig).
+    ``top_k_cap > 0`` restricts the candidate set to the EXACT top
+    ``cap`` logits (``approx_max_k`` at recall_target=1.0) instead of a
+    full-vocab sort — exact for requested top_k <= cap, and the
+    industry-standard truncation for top-p (the tail mass beyond the
+    cap is renormalized away). A full [B, vocab] sort every step costs
+    more than the decode matmuls at small batch; the engine defaults
+    the cap on (ResourceConfig). Requested top_k > cap is clamped to
+    the cap and logged at admission (generator._parse_request).
 
     ``greedy_only=True`` is the STATIC fast path for steps where every
     row has do_sample=False (benchmarks, greedy serving, eval): a pure
@@ -120,25 +122,16 @@ def sample_top_k_top_p(
         return tokens, arg_val - lse
 
     if top_k_cap and top_k_cap < v:
-        # approx_max_k is the TPU-native top-k (lax.top_k lowers to a
-        # sort-based custom call measured at ~2.2 ms/step for [64, 32k]).
-        # The approximation may rarely drop the TRUE max, which would
-        # break greedy determinism — patch the exact argmax into the last
-        # candidate slot whenever it's missing.
+        # EXACT top-cap candidates via the TPU PartialReduce op:
+        # recall_target=1.0 makes approx_max_k exact while staying far
+        # cheaper than lax.top_k's sort-based custom call (measured at
+        # ~2.2 ms/step for [64, 32k]). Reference semantics are exact
+        # top-k/top-p (post_processor.cc:121-219); with an exact
+        # candidate set, requested top_k <= cap is exact end-to-end and
+        # greedy determinism holds by construction (no argmax patch
+        # needed). Output is sorted descending (aggregate_to_topk).
         cand_logits, cand_idx = jax.lax.approx_max_k(
-            scaled, top_k_cap, recall_target=0.95)
-        arg = jnp.argmax(scaled, axis=-1)                   # exact, cheap
-        arg_val = jnp.take_along_axis(scaled, arg[:, None], axis=-1)[:, 0]
-        present = jnp.any(cand_idx == arg[:, None], axis=-1)
-        cand_idx = cand_idx.at[:, -1].set(
-            jnp.where(present, cand_idx[:, -1], arg))
-        cand_logits = cand_logits.at[:, -1].set(
-            jnp.where(present, cand_logits[:, -1], arg_val))
-        # re-sort so rank masks stay correct (approx output is sorted, but
-        # the patched slot may belong earlier)
-        order = jnp.argsort(-cand_logits, axis=-1)
-        cand_logits = jnp.take_along_axis(cand_logits, order, axis=-1)
-        cand_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
+            scaled, top_k_cap, recall_target=1.0)
         # denominator over the FULL vocab so logprobs stay exact
         lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
         cand_logprobs = cand_logits - lse

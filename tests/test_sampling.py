@@ -149,3 +149,55 @@ def test_greedy_only_fast_path_matches_general():
                                            top_k_cap=256, greedy_only=True)
     np.testing.assert_array_equal(t_fast, t_gen)
     np.testing.assert_allclose(lp_fast, lp_gen, rtol=1e-4)
+
+
+def test_sampled_distribution_chi2_vs_reference():
+    """Chi-square goodness-of-fit of the capped sampling path against
+    the reference's EXACT top-k/top-p semantics computed in numpy
+    (post_processor.cc:121-219: temperature -> top-k -> top-p with
+    exclusive-cumsum keep rule -> renormalize -> categorical)."""
+    from scipy import stats
+
+    rng = np.random.RandomState(7)
+    v, cap, k, top_p, temp = 512, 64, 40, 0.9, 0.8
+    logits_row = rng.randn(v).astype(np.float32) * 2.0
+
+    # reference distribution, exact, in numpy
+    scaled = logits_row / temp
+    order = np.argsort(-scaled)
+    keep = np.zeros(v, bool)
+    keep[order[:k]] = True                       # top-k
+    probs = np.exp(scaled - scaled.max())
+    probs /= probs.sum()
+    sp = probs[order]
+    cum_before = np.cumsum(sp) - sp              # exclusive cumsum
+    keep_p = np.zeros(v, bool)
+    keep_p[order] = cum_before < top_p           # top-p keep rule
+    keep &= keep_p
+    ref = np.where(keep, probs, 0.0)
+    ref /= ref.sum()
+
+    n = 1 << 14
+    logits = jnp.asarray(np.tile(logits_row, (n, 1)))
+    p = make_params(n,
+                    temperature=jnp.full(n, temp),
+                    top_k=jnp.full(n, k, jnp.int32),
+                    top_p=jnp.full(n, top_p))
+    toks, _ = S.sample_top_k_top_p(logits, p, jax.random.PRNGKey(11),
+                                   top_k_cap=cap)
+    toks = np.asarray(toks)
+    assert set(toks.tolist()) <= set(np.where(keep)[0].tolist())
+
+    support = np.where(ref > 0)[0]
+    counts = np.bincount(toks, minlength=v)[support]
+    expected = ref[support] * n
+    # merge tail cells so every expected count >= 5 (chi2 validity)
+    big = expected >= 5
+    obs = np.concatenate([counts[big], [counts[~big].sum()]]) \
+        if (~big).any() else counts[big]
+    exp = np.concatenate([expected[big], [expected[~big].sum()]]) \
+        if (~big).any() else expected[big]
+    exp = exp * obs.sum() / exp.sum()
+    stat = float(((obs - exp) ** 2 / exp).sum())
+    pval = float(stats.chi2.sf(stat, df=len(obs) - 1))
+    assert pval > 1e-4, (stat, pval)

@@ -156,6 +156,14 @@ def main():
                 gen_cfg.max_running_batch = clamped
         if args.warmup_manifest:
             import time as _time
+            # align the pinned page-table width with the served config
+            # BEFORE prewarming: with --validate-bucket-grid off nothing
+            # else sets it until LLMGenerator construction, so the
+            # stale-key kvp filter would run against the engine default
+            # and silently drop (or mis-warm) live manifest keys
+            engine.set_max_kv_pages(
+                -(-gen_cfg.max_total_tokens_per_request
+                  // model_cfg.page_size))
             t0 = _time.perf_counter()
             n = engine.prewarm_from_manifest(args.warmup_manifest)
             if n:
