@@ -205,7 +205,10 @@ def main():
             return float("inf")
         return deadline - (time.monotonic() - _T0) - reserve
 
+    t_eng = time.perf_counter()
     engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg)
+    print(f"[bench] engine created in {time.perf_counter() - t_eng:.1f}s "
+          f"(t+{time.monotonic() - _T0:.0f}s)", file=sys.stderr, flush=True)
 
     # AOT executable store (same mechanism the server's --aot-cache
     # uses, engine.set_aot_dir/prewarm_from_manifest): deserialized

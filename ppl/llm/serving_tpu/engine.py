@@ -291,6 +291,17 @@ class LLMEngine:
                              rng)
 
         fn = jax.jit(runner, donate_argnums=(1, 2, 3))
+        if getattr(self, "_aot_dir", None):
+            # compile NOW against engine-state avals and persist the
+            # executable: the jit wrapper would re-trace + re-lower the
+            # whole unrolled block on every later process start (~60 s
+            # of host work each) even when the XLA disk cache makes the
+            # compile itself fast. With the store on, every first-visit
+            # program self-persists — server, bench, and validation all
+            # leave a warm store behind.
+            compiled = self._aot_compile_now(fn, key)
+            if compiled is not None:
+                fn = compiled
         self._packed_cache[key] = fn
         if self.manifest_path:
             # eager save: a new program key means a compile just became
@@ -317,19 +328,33 @@ class LLMEngine:
 
     def set_aot_dir(self, path: str) -> None:
         import os
-        if path and (self.mesh is not None
-                     or jax.local_device_count() != 1):
-            # a deserialized executable loads with the client's default
-            # device assignment: on a multi-device backend a 1-device
-            # program comes back expecting one shard per local device
-            # (reproduced on the 8-device CPU test mesh). Production is
-            # one chip per process; for TP meshes the jit path stands.
-            logger.info("AOT store disabled: %d local devices / mesh=%s",
-                        jax.local_device_count(), self.mesh)
+        if (path and self.mesh is None
+                and jax.local_device_count() != 1):
+            # Unsharded 1-device programs deserialized against a multi-
+            # device client are unreliable: even with explicit
+            # execution_devices the XLA:CPU thunk loader can fail at
+            # DISPATCH time ("Function negate_power_fusion not found"),
+            # after donated buffers are consumed — unrecoverable.
+            # Production single-chip is 1 local device, and mesh
+            # programs round-trip fine (test_prewarm AOT mesh test), so
+            # only this combination stays disabled.
+            logger.info("AOT store disabled: %d local devices, no mesh",
+                        jax.local_device_count())
             path = ""
         self._aot_dir = path
         if path:
             os.makedirs(path, exist_ok=True)
+
+    def _aot_execution_devices(self):
+        """The device assignment a deserialized executable must load
+        with. Without it, deserialize_and_load defaults to ALL of the
+        client's devices — a 1-device program on a multi-device backend
+        then comes back expecting one shard per local device
+        (reproduced on the 8-device CPU test mesh: 'Expected args ...
+        to have 8 shards, got: [1, 1]')."""
+        if self.mesh is not None:
+            return list(self.mesh.devices.flat)
+        return [jax.local_devices()[0]]
 
     def _aot_name(self, key) -> str:
         import hashlib
@@ -350,7 +375,11 @@ class LLMEngine:
                    # deserialize an executable built for another chip:
                    # only _aot_load is guarded, so a call-time failure
                    # would become an engine fail-all
-                   device_kind))
+                   device_kind,
+                   # mesh topology shapes the compiled program (SPMD
+                   # partitioning + device assignment)
+                   (tuple(self.mesh.shape.items())
+                    if self.mesh is not None else None)))
         h = hashlib.sha1(fp.encode()).hexdigest()[:20]
         return os.path.join(self._aot_dir, f"step_{h}.aotx")
 
@@ -367,7 +396,9 @@ class LLMEngine:
                 deserialize_and_load)
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            fn = deserialize_and_load(payload, in_tree, out_tree)
+            fn = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=self._aot_execution_devices())
             logger.info("AOT-loaded step program %s (%s)", key, path)
             return fn
         except Exception as e:  # stale jax/device/format: fall back
@@ -394,6 +425,42 @@ class LLMEngine:
                         len(payload) >> 20)
         except Exception as e:  # non-fatal: the jit path still works
             logger.warning("AOT save failed for %s: %s", key, e)
+
+    def _aot_compile_now(self, fn, key):
+        """Lower+compile ``fn`` against the CURRENT engine-state avals
+        (exactly what the first real dispatch would specialize on) and
+        persist the executable to the store. Returns the Compiled (to
+        dispatch directly, skipping the jit wrapper's re-trace) or None
+        on any failure (the jit path still works)."""
+        try:
+            n_steps, feed, bd, bp, qp, kvp, greedy, cont = key
+
+            def aval(x):
+                sh = getattr(x, "sharding", None)
+                if sh is not None and getattr(sh, "mesh", None) is None:
+                    sh = None  # single-device arrays: let jit place them
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+            b = bd + bp
+            packed_len = 2 * bd + bp * qp + 2 * bp + b * kvp + 9 * b
+            rng_a = aval(jax.random.fold_in(self._rng, 0))
+            args = (jax.tree.map(aval, self._params),
+                    aval(self.kv_cache), aval(self.kv_scale),
+                    aval(self.count_map),
+                    jax.ShapeDtypeStruct((packed_len,), jnp.int32))
+            if cont:
+                args += (jax.ShapeDtypeStruct((), jnp.int32),
+                         jax.ShapeDtypeStruct((bd,), jnp.int32), rng_a)
+            elif feed:
+                args += (jax.ShapeDtypeStruct((bd,), jnp.int32), rng_a)
+            else:
+                args += (rng_a,)
+            compiled = fn.lower(*args).compile()
+            self._aot_save(key, compiled)
+            return compiled
+        except Exception as e:  # non-fatal: jit wrapper still stands
+            logger.warning("AOT eager compile failed for %s: %s", key, e)
+            return None
 
     # -- compile manifest / pre-warm -----------------------------------------
 

@@ -8,7 +8,6 @@ import logging
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,
                                         ResourceConfig)

@@ -5,6 +5,8 @@ drive the serving engine programmatically, no gRPC involved."""
 import os
 import sys
 
+# checkout convenience only — with `pip install -e .` the package
+# imports resolve without this
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ppl.llm.serving_tpu.config import (GeneratorConfig, ModelConfig,

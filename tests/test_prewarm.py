@@ -78,16 +78,85 @@ def test_prewarm_skips_stale_keys(tmp_path):
         gen.shutdown()
 
 
-def test_aot_store_disabled_on_multidevice_backend(tmp_path):
-    """On the 8-device CPU test mesh the store must refuse to engage:
-    deserialized executables load with the client's default device
-    assignment and would expect one shard per local device."""
+def test_aot_store_disabled_unsharded_multidevice(tmp_path):
+    """The one combination that stays disabled: unsharded 1-device
+    programs on a multi-device backend. Even loaded with explicit
+    execution_devices, the XLA:CPU thunk loader can fail at DISPATCH
+    ('Function negate_power_fusion not found') — after donated buffers
+    are consumed, which is unrecoverable. Mesh programs round-trip
+    (test_aot_store_roundtrip_with_mesh); single-device backends
+    round-trip (test_aot_executable_store_roundtrip)."""
     gen, conn = build()
     try:
         gen.engine.set_aot_dir(str(tmp_path / "aot"))
         assert gen.engine._aot_dir == ""
     finally:
         gen.shutdown()
+
+
+def test_aot_store_roundtrip_with_mesh(tmp_path):
+    """TP-mesh step programs AOT-roundtrip: avals carry NamedSharding,
+    and _aot_load passes the mesh's device list as execution_devices —
+    so multi-chip (and future multi-host) starts skip re-compiles."""
+    from ppl.llm.serving_tpu.config import ResourceConfig
+    from ppl.llm.serving_tpu.connection import LocalConnection
+    from ppl.llm.serving_tpu.generator import LLMGenerator
+    from ppl.llm.serving_tpu.parallel import shardings
+    from ppl.llm.serving_tpu.resources import create_engine
+    from test_generator_e2e import DummyTokenizer, make_model_cfg
+
+    aot = str(tmp_path / "aot")
+
+    def build_tp():
+        model_cfg = make_model_cfg()
+        gen_cfg = make_gen_cfg()
+        resource_cfg = ResourceConfig(
+            model_format="random", kv_cache_max_tokens=2048,
+            tensor_parallel_size=2,
+            token_buckets=(32, 64, 128, 256), batch_buckets=(4, 8, 16))
+        mesh = shardings.make_mesh(2)
+        engine, kv_max = create_engine(model_cfg, resource_cfg, gen_cfg,
+                                       mesh=mesh)
+        engine.set_aot_dir(aot)
+        conn = LocalConnection()
+        gen = LLMGenerator(model_cfg, gen_cfg, engine, DummyTokenizer(),
+                           conn, kv_max)
+        return gen, conn
+
+    gen, conn = build_tp()
+    try:
+        assert gen.engine._aot_dir == aot
+        run(gen, conn, [req(1, prompt="aot mesh", gen_len=12)])
+        tokens_first = list(conn.tokens[1])
+        keys = gen.engine.compiled_keys()
+        assert gen.engine.prewarm(keys) == len(keys)
+    finally:
+        gen.shutdown()
+
+    gen2, conn2 = build_tp()
+    try:
+        assert gen2.engine.prewarm(keys) == len(keys)
+        loaded = [k for k in keys
+                  if not hasattr(gen2.engine._packed_cache[tuple(k)],
+                                 "lower")]
+        assert loaded, "no mesh program came back through the AOT store"
+        # the load path (explicit execution_devices) is what this test
+        # pins: a wrong device assignment fails here with
+        # 'Expected args ... to have N shards'. Execution of
+        # deserialized executables is additionally subject to a FLAKY
+        # XLA:CPU thunk-loader bug ('Function ..._fusion not found
+        # (type id: 1)') that TPU does not have — skip only that.
+        conn2.set_wanted(1)
+        gen2.process(req(1, prompt="aot mesh", gen_len=12))
+        assert conn2.wait(timeout=120)
+        failure = conn2.failures.get(1, "")
+        if "not found (type id" in failure:
+            import pytest
+            pytest.skip(f"XLA:CPU AOT thunk-loader bug: {failure[:120]}")
+        assert not failure, failure
+        assert list(conn2.tokens[1]) == tokens_first
+    finally:
+        gen2.shutdown()
 
 
 _AOT_SUBPROC = r"""
