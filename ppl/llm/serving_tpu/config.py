@@ -210,17 +210,18 @@ class GeneratorConfig:
     # attached chips.
     speculative_blocks: int = 1
     # Prefill admission cadence (TPU scheduling; active when decode
-    # blocks are on): after a step that carried prefill rows, run one
-    # full pure-decode block before admitting more prefills. Under
-    # saturating arrivals (the canonical rate=inf benchmark) a pending
-    # prefill otherwise exists at EVERY step, so the engine degrades to
-    # single-step mixed programs — one host/tunnel round trip per token
-    # (measured: 476 tok/s vs the block path's thousands; decode
-    # per-token p75 186 ms vs ~6 ms). The reference admits every step
-    # (its CUDA loop is per-token anyway, llm_generator.cc:596-604);
-    # on TPU the block path IS the throughput, so admission alternates
-    # with it. TTFT cost: bounded by one block (~multi_step x step).
-    prefill_admission_cadence: bool = True
+    # blocks are on): after a step that carried prefill rows, run N
+    # full pure-decode blocks before admitting more prefills (0 = off).
+    # Under saturating arrivals (the canonical rate=inf benchmark) a
+    # pending prefill otherwise exists at EVERY step, so the engine
+    # degrades to single-step mixed programs — one host/tunnel round
+    # trip per token (measured: 476 tok/s vs the block path's
+    # thousands; decode per-token p75 186 ms vs ~6 ms). The reference
+    # admits every step (its CUDA loop is per-token anyway,
+    # llm_generator.cc:596-604); on TPU the block path IS the
+    # throughput, so admission alternates with it. TTFT cost: bounded
+    # by max(N, speculative_blocks) blocks (~N x multi_step x step).
+    prefill_admission_cadence: int = 1
     enable_profiling: bool = False
     # profiler print cadence (loop steps); the reference prints on step 1,
     # every 100 steps, and at drain (llm_generator.cc:768-780). Set to 1
@@ -323,10 +324,20 @@ class ResourceConfig:
     # 16 -> collapse (VMEM spill); 8 is the default.
     attention_seq_block: int = 8
 
-    # Sampling candidate-set cap: top-k/top-p sample from the top-cap
-    # logits via lax.top_k instead of a full-vocab sort (exact for
-    # top_k <= cap; standard truncation for top_p). 0 = exact full sort.
+    # Sampling candidate-set cap: top-k/top-p sample from the EXACT
+    # top-cap logits (approx_max_k at recall_target=1.0) instead of a
+    # full-vocab sort (exact for top_k <= cap; standard truncation for
+    # top_p). 0 = exact full sort.
     sampling_top_k_cap: int = 256
+
+    # Bucket-grid validation refuses any step program whose generated
+    # code exceeds this many bytes (0 = no limit). The python-unrolled
+    # decode block makes program size scale with steps x layers (x
+    # batch tiling): at bd=128 a ~981 MB TinyLlama block executable
+    # crashed the TPU worker process on three round-4 runs ("TPU worker
+    # process crashed or restarted") — a size the device demonstrably
+    # cannot run must fail the BUCKET at startup, not the serving loop.
+    max_program_bytes: int = 768 * 1024 * 1024
 
     # Decode-only phases run blocks of up to N on-device steps with
     # sampled tokens feeding back inside one jitted program (lax.scan),

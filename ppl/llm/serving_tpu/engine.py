@@ -426,6 +426,31 @@ class LLMEngine:
         except Exception as e:  # non-fatal: the jit path still works
             logger.warning("AOT save failed for %s: %s", key, e)
 
+    def _program_code_size(self, compiled) -> int:
+        try:
+            ma = compiled.memory_analysis()
+            return int(getattr(ma, "generated_code_size_in_bytes", 0))
+        except Exception:
+            return 0
+
+    def _check_program_size(self, compiled, key) -> None:
+        """Refuse step programs whose generated code exceeds the
+        configured bound (ResourceConfig.max_program_bytes): a ~981 MB
+        unrolled-block executable crashed the TPU worker outright on
+        three round-4 runs — bucket-grid validation must fail such a
+        bucket cleanly at startup with the measured size, never hand it
+        to the serving loop."""
+        limit = getattr(self.resource_cfg, "max_program_bytes", 0)
+        size = self._program_code_size(compiled)
+        if size >= 100 << 20:
+            logger.info("step program %s generated code: %d MB",
+                        key, size >> 20)
+        if limit and size > limit:
+            raise RuntimeError(
+                f"step program {key} generated code size "
+                f"{size >> 20} MB exceeds max_program_bytes "
+                f"{limit >> 20} MB (device-crash guard)")
+
     def _aot_compile_now(self, fn, key):
         """Lower+compile ``fn`` against the CURRENT engine-state avals
         (exactly what the first real dispatch would specialize on) and
@@ -456,6 +481,11 @@ class LLMEngine:
             else:
                 args += (rng_a,)
             compiled = fn.lower(*args).compile()
+            # oversize programs are not persisted (and are loudly
+            # flagged — with grid validation on they were already
+            # refused at startup; without it this is the last warning
+            # before a dispatch that may crash the worker)
+            self._check_program_size(compiled, key)
             self._aot_save(key, compiled)
             return compiled
         except Exception as e:  # non-fatal: jit wrapper still stands
@@ -555,6 +585,7 @@ class LLMEngine:
                 else:
                     args += (rng_a,)
                 compiled = fn.lower(*args).compile()
+                self._check_program_size(compiled, key)
                 k = (int(n_steps), bool(feed), int(bd), int(bp), int(qp),
                      int(kvp), bool(greedy), bool(cont))
                 self._aot_save(k, compiled)

@@ -122,7 +122,11 @@ class LLMGenerator:
         self.profiler = WorkerProfiler()
         self._finished: "queue.SimpleQueue[Tuple[int, int]]" = queue.SimpleQueue()
         self._tid_list: List[TaskState] = []
-        self._last_step_had_prefill = False  # admission cadence state
+        # admission-cadence state: pure-decode blocks consumed since the
+        # last prefill-carrying step (updated where a handle is consumed
+        # — a dispatch-time flag freezes while the speculative queue is
+        # being drained, which made the cadence unbounded)
+        self._blocks_since_prefill = 1 << 30
         self._tid_map: Dict[int, TaskState] = {}
         self._decoder = ThreadPoolExecutor(max_workers=1,
                                            thread_name_prefix="detok")
@@ -480,17 +484,20 @@ class LLMGenerator:
 
     def _admission_gated(self) -> bool:
         """Prefill admission cadence (GeneratorConfig
-        ``prefill_admission_cadence``): once the running batch is
+        ``prefill_admission_cadence`` = N): once the running batch is
         established (>= half ``max_running_batch``), hold new
-        admissions for one pure-decode block after every
+        admissions for N pure-decode blocks after every
         prefill-carrying step, so saturating arrivals can't pin the
         engine in single-step mixed programs (one host round trip per
         token). While the batch is still RAMPING the gate stays open —
         blocking 23 pending prefills to run a 1-row decode block would
-        hurt both throughput and fairness."""
-        return (self.gen_cfg.prefill_admission_cadence
+        hurt both throughput and fairness. The counter is consume-side
+        (``_blocks_since_prefill``), so the bound holds even while the
+        speculative queue keeps the dispatch path idle."""
+        n = int(self.gen_cfg.prefill_admission_cadence)
+        return (n > 0
                 and self.engine.multi_step_block > 1
-                and self._last_step_had_prefill
+                and self._blocks_since_prefill < n
                 and len(self._tid_list)
                 >= max(1, self.gen_cfg.max_running_batch // 2))
 
@@ -506,8 +513,6 @@ class LLMGenerator:
         reuse it. (Not speculative: this runs after the previous block's
         finishes are known, so stop-token semantics are untouched.)
         """
-        self._last_step_had_prefill = any(
-            len(t.next_tokens) > 1 for t in tasks)
         sig = tuple(t.tid for t in tasks)
         last = self.engine.last_handle
         if (sig == self._last_sig and last is not None
@@ -553,10 +558,10 @@ class LLMGenerator:
         # admission stays gated while the spec queue is non-empty, so
         # no page can be reallocated under an in-flight block. The
         # override applies only while the gate is ACTUALLY engaged
-        # (_admission_gated: the last step carried prefill rows) — a
-        # standing override would let speculation refill the queue
-        # every round and defer pending prefills unboundedly, breaking
-        # the cadence's one-block TTFT bound.
+        # (_admission_gated: consume-side blocks-since-prefill counter
+        # below the cadence) — a standing override would let
+        # speculation refill the queue every round and defer pending
+        # prefills unboundedly, breaking the cadence's TTFT bound.
         cadence_pipeline = self._admission_gated()
         if ((self.sched.get_pending_size() > 0 and not cadence_pipeline)
                 or any(t.pending_prefill for t in tasks)
@@ -737,6 +742,10 @@ class LLMGenerator:
                     handle, tasks = self._spec_queue.popleft()
                 else:
                     handle = self._dispatch_next(tasks, prof)
+                if handle["prefill_idx"]:
+                    self._blocks_since_prefill = 0
+                else:
+                    self._blocks_since_prefill += 1
                 self._dispatch_speculative(handle, tasks)
                 tokens, logprobs = self.engine.fetch_plan_result(
                     handle, profiler=prof)

@@ -73,6 +73,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sampling-top-k-cap", type=int, default=256,
                    help="candidate cap for top-k/top-p sampling (0 = "
                         "full vocab sort)")
+    p.add_argument("--max-program-mb", type=int, default=768,
+                   help="refuse step programs whose generated code "
+                        "exceeds this (bucket-grid validation; 0 = no "
+                        "limit — oversize programs have crashed the "
+                        "TPU worker)")
     p.add_argument("--block-tail", default="auto",
                    choices=["auto", "on", "off"],
                    help="one fused KV scatter per multi-step block "
@@ -108,9 +113,8 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
                         "per step (0 = whole prompt in one step); bounds "
                         "per-step prefill work for flat decode latency")
     p.add_argument("--prefill-admission-cadence", type=int, default=1,
-                   choices=[0, 1],
-                   help="1 (default): after a prefill-carrying step, run "
-                        "one pure-decode block before admitting more "
+                   help="N (default 1): after a prefill-carrying step, run "
+                        "N pure-decode blocks before admitting more "
                         "prefills (keeps the block path engaged under "
                         "saturating arrivals); 0: admit every step "
                         "(reference behavior)")
@@ -181,6 +185,7 @@ def build_configs(args):
         attention_impl=args.attention_impl,
         attention_seq_block=args.attention_seq_block,
         sampling_top_k_cap=args.sampling_top_k_cap,
+        max_program_bytes=args.max_program_mb << 20,
         block_tail=args.block_tail,
     )
     if getattr(args, "token_buckets", ""):
@@ -206,7 +211,7 @@ def build_configs(args):
         enable_prefix_cache=args.enable_prefix_cache,
         enable_profiling=args.enable_profiling,
         speculative_blocks=args.speculative_blocks,
-        prefill_admission_cadence=bool(args.prefill_admission_cadence),
+        prefill_admission_cadence=args.prefill_admission_cadence,
         prefill_chunk_tokens=args.prefill_chunk_tokens,
         trace_dir=args.jax_trace_dir,
     )

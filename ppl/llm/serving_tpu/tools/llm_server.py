@@ -140,9 +140,19 @@ def main():
         if args.aot_cache:
             from ppl.llm.serving_tpu.utils.compile_cache import (
                 default_cache_dir)
-            aot = (os.path.join(default_cache_dir("tpu"), "aot")
-                   if args.aot_cache == "auto" else args.aot_cache)
-            engine.set_aot_dir(aot)
+            import jax as _jax
+            if args.aot_cache == "auto":
+                # auto engages on TPU only: the XLA:CPU thunk loader
+                # executes deserialized executables unreliably (missing
+                # fusion symbols / machine-feature mismatch -> silent
+                # garbage or SIGILL). Explicit --aot-cache PATH still
+                # opts in anywhere (tests).
+                aot = ("" if _jax.default_backend() == "cpu"
+                       else os.path.join(default_cache_dir("tpu"), "aot"))
+            else:
+                aot = args.aot_cache
+            if aot:
+                engine.set_aot_dir(aot)
         if args.validate_bucket_grid:
             clamped = engine.validate_bucket_grid(
                 gen_cfg.max_total_tokens_per_request,

@@ -322,3 +322,25 @@ def test_validate_bucket_grid_caps_mixed_prefill_rows(monkeypatch):
     engine2.validate_bucket_grid(64, 8, 128)
     assert engine2.max_prefill_rows.get(64) == 0
     assert engine2.prompt_row_cap(40) == 0
+
+
+def test_program_size_guard_refuses_oversize(monkeypatch):
+    """A compiled step program whose generated code exceeds
+    max_program_bytes must fail prewarm (so bucket-grid validation
+    drops that bucket at startup) — a ~981 MB unrolled-block executable
+    crashed the TPU worker outright in round 4."""
+    gen, conn = build()
+    try:
+        eng = gen.engine
+        key = list(eng.compiled_keys() or [(1, False, 4, 0, 32, 4,
+                                            False, False)])[0]
+        eng._packed_cache.clear()
+        monkeypatch.setattr(type(eng), "_program_code_size",
+                            lambda self, c: 900 << 20)
+        eng.resource_cfg.max_program_bytes = 768 << 20
+        assert eng.prewarm([key]) == 0
+        eng.resource_cfg.max_program_bytes = 0      # 0 = no limit
+        eng._packed_cache.clear()
+        assert eng.prewarm([key]) == 1
+    finally:
+        gen.shutdown()
