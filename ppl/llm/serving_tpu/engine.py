@@ -542,7 +542,7 @@ class LLMEngine:
                         "unpinned page-table width (!= %d)", stale, pinned)
         return self.prewarm(live)
 
-    def prewarm(self, keys) -> int:
+    def prewarm(self, keys, unload: bool = False) -> int:
         """AOT-compile step programs for ``keys`` (the tuples from
         :meth:`compiled_keys`) against the CURRENT engine state shapes.
 
@@ -550,7 +550,13 @@ class LLMEngine:
         touched or donated; with the persistent compilation cache on,
         the later real dispatch re-traces but hits the cache (seconds,
         not minutes). Keys whose shapes no longer fit (e.g. a manifest
-        from a different model/bucket table) are skipped."""
+        from a different model/bucket table) are skipped.
+
+        ``unload=True`` releases each program's loaded executable after
+        it compiles (the AOT store / XLA disk cache keep it warm):
+        bucket-grid validation compiles MANY variants whose loaded code
+        would otherwise pin device program memory — hundreds of MB each
+        — leaving too little HBM for weights+KV on large models."""
         def aval(x):
             sh = getattr(x, "sharding", None)
             if sh is not None and getattr(sh, "mesh", None) is None:
@@ -565,11 +571,14 @@ class LLMEngine:
             except (TypeError, ValueError):
                 continue
             try:
-                fn = self._get_packed_runner(
-                    int(n_steps), bool(feed), int(bd), int(bp), int(qp),
-                    int(kvp), greedy=bool(greedy), cont=bool(cont))
+                k = (int(n_steps), bool(feed), int(bd), int(bp), int(qp),
+                     int(kvp), bool(greedy), bool(cont))
+                fn = self._get_packed_runner(*k[:6], greedy=k[6],
+                                             cont=k[7])
                 if not hasattr(fn, "lower"):
                     n_ok += 1     # AOT-loaded executable: already warm
+                    if unload:
+                        self._packed_cache.pop(k, None)
                     continue
                 b = bd + bp
                 packed_len = (2 * bd + bp * qp + 2 * bp + b * kvp + 9 * b)
@@ -586,14 +595,19 @@ class LLMEngine:
                     args += (rng_a,)
                 compiled = fn.lower(*args).compile()
                 self._check_program_size(compiled, key)
-                k = (int(n_steps), bool(feed), int(bd), int(bp), int(qp),
-                     int(kvp), bool(greedy), bool(cont))
                 self._aot_save(k, compiled)
-                # dispatch through the compiled executable directly:
-                # the jit wrapper would re-trace + re-lower the whole
-                # unrolled block on its first real call (~60 s of host
-                # work each) even though the compile itself is cached
-                self._packed_cache[k] = compiled
+                if unload:
+                    # release the loaded executable (AOT/XLA caches
+                    # keep it warm for the first real dispatch)
+                    self._packed_cache.pop(k, None)
+                    del compiled
+                else:
+                    # dispatch through the compiled executable directly:
+                    # the jit wrapper would re-trace + re-lower the
+                    # whole unrolled block on its first real call
+                    # (~60 s of host work each) even though the compile
+                    # itself is cached
+                    self._packed_cache[k] = compiled
                 n_ok += 1
             except Exception as e:  # stale manifest entries are non-fatal
                 logger.warning("prewarm skipped key %s: %s", key, e)
@@ -648,9 +662,22 @@ class LLMEngine:
                     "decode batch bucket %d > max_running_batch %d",
                     bucket, max_running_batch)
                 continue
-            key = (n_steps, n_steps > 1, bucket, 0,
-                   self.token_buckets[0], kvp, False, False)
-            if self.prewarm([key]) == 1:
+            # Validate EVERY variant traffic can dispatch at this
+            # bucket: greedy and sampled, plus (for blocks) the
+            # device-resident continuation runner. Round-5 lesson: the
+            # grid validated only greedy=False, so all-greedy canonical
+            # traffic first-visited its greedy=True block mid-serving —
+            # a live compile through the remote helper, which is
+            # exactly the operation that can crash the TPU worker
+            # (observed: worker crash during the bd=32 greedy block
+            # compile while serving; fail-all of 256 requests).
+            qp0 = self.token_buckets[0]
+            keys = [(n_steps, n_steps > 1, bucket, 0, qp0, kvp, g, False)
+                    for g in (False, True)]
+            if n_steps > 1:
+                keys += [(n_steps, True, bucket, 0, qp0, kvp, g, True)
+                         for g in (False, True)]
+            if all(self.prewarm([k], unload=True) == 1 for k in keys):
                 keep.append(bucket)
                 covered = bucket >= max_running_batch
                 continue
@@ -674,8 +701,12 @@ class LLMEngine:
                     # only single-row waves can ever use this bucket
                     rbs = [1]
                 for rb in rbs:
-                    key = (1, False, bd_max, rb, qp, kvp, False, False)
-                    if self.prewarm([key]) == 1:
+                    # both sampling variants (all-greedy traffic
+                    # dispatches the greedy=True program — see the
+                    # decode-bucket comment above)
+                    if all(self.prewarm(
+                            [(1, False, bd_max, rb, qp, kvp, g, False)],
+                            unload=True) == 1 for g in (False, True)):
                         if rb != rbs[0]:
                             logger.error(
                                 "bucket grid: mixed program (bd %d, qp "

@@ -127,6 +127,12 @@ class LLMGenerator:
         # — a dispatch-time flag freezes while the speculative queue is
         # being drained, which made the cadence unbounded)
         self._blocks_since_prefill = 1 << 30
+        # dead-backend detection: consecutive engine failures with no
+        # successful step in between; on_fatal (set by the server) is
+        # invoked when the threshold is reached
+        self._engine_failures = 0
+        self._max_engine_failures = 3
+        self.on_fatal = None
         self._tid_map: Dict[int, TaskState] = {}
         self._decoder = ThreadPoolExecutor(max_workers=1,
                                            thread_name_prefix="detok")
@@ -756,8 +762,23 @@ class LLMGenerator:
                     self._decode_future.result()
                     self._decode_future = None
                 self._release_all(f"engine execute failed: {e}")
+                self._engine_failures += 1
+                if (self.on_fatal is not None
+                        and self._engine_failures
+                        >= self._max_engine_failures):
+                    # repeated engine failures with no successful step
+                    # in between = the backend is gone (e.g. "TPU
+                    # worker process crashed"): every future dispatch
+                    # would fail too. A supervisor restart (cheap with
+                    # the AOT store) beats serving failures forever.
+                    logger.critical(
+                        "%d consecutive engine failures — backend "
+                        "presumed dead, invoking on_fatal",
+                        self._engine_failures)
+                    self.on_fatal()
                 break
 
+            self._engine_failures = 0   # a step succeeded: not dead
             with TimingGuard() as post_t:
                 # join the previous step's detokenize before mutating the
                 # shared decode state (llm_generator.cc:695-697)

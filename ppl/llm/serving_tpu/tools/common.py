@@ -112,6 +112,9 @@ def add_generator_args(p: argparse.ArgumentParser) -> None:
                    help="feed long prompts in chunks of at most N tokens "
                         "per step (0 = whole prompt in one step); bounds "
                         "per-step prefill work for flat decode latency")
+    p.add_argument("--profile-step-interval", type=int, default=100,
+                   help="[PERF] print cadence in loop steps (reference "
+                        "prints step 1, every 100, and at drain)")
     p.add_argument("--prefill-admission-cadence", type=int, default=1,
                    help="N (default 1): after a prefill-carrying step, run "
                         "N pure-decode blocks before admitting more "
@@ -197,6 +200,7 @@ def build_configs(args):
     max_prefill = 1 if args.enable_prefix_cache else args.max_prefill_batch
     gen_cfg = GeneratorConfig(
         top_p=args.top_p,
+        profile_step_interval=args.profile_step_interval,
         top_k=args.top_k,
         enable_penalty=args.enable_penalty,
         max_running_batch=args.max_running_batch,

@@ -184,6 +184,18 @@ def main():
             engine.manifest_path = args.warmup_manifest
         generator = LLMGenerator(model_cfg, gen_cfg, engine, tokenizer,
                                  conn, kv_max, plan_channel=plan_channel)
+
+        def _fatal_exit():
+            # the device backend is gone (e.g. TPU worker crash) —
+            # every dispatch fails and jax caches the dead client, so
+            # only a process restart recovers. Exit loudly; with the
+            # AOT store a supervised restart is cheap (seconds of
+            # program loads, not minutes of compiles).
+            print("[FATAL] device backend lost — exiting for "
+                  "supervisor restart", flush=True)
+            os._exit(13)
+
+        generator.on_fatal = _fatal_exit
         profiler = generator.profiler
     if args.monitor_port:
         from ppl.llm.serving_tpu.serving.metrics import MetricsServer

@@ -102,7 +102,8 @@ python tools/llm_server.py \
   --speculative-blocks 1 --max-tokens-per-step 8192 \
   --attention-seq-block 8 $BUCKETS $EXTRA \
   --warmup-manifest "$MANIFEST" \
-  --enable-profiling --disable-log-req \
+  --enable-profiling --profile-step-interval "${PROFILE_EVERY:-100}" \
+  --disable-log-req \
   --port "$PORT" > "$SERVER_LOG" 2>&1 &
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null' EXIT
