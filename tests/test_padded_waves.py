@@ -136,3 +136,28 @@ def test_prefill_admission_cadence_engages_blocks_under_load():
         assert blocks, "no decode-block program ever dispatched under load"
     finally:
         gen.shutdown()
+
+
+def test_on_fatal_after_consecutive_engine_failures():
+    """Dead-backend detection: repeated engine failures with no
+    successful step in between invoke on_fatal (the server exits for a
+    supervised restart; default None keeps library semantics)."""
+    gen, conn = build()
+    calls = []
+    try:
+        run(gen, conn, [req(900, prompt="healthy first", gen_len=4)])
+        gen.on_fatal = lambda: calls.append(1)
+
+        def boom(plan, profiler=None):
+            raise RuntimeError("UNAVAILABLE: worker crashed (test)")
+
+        gen.engine.dispatch_plan = boom
+        for i in range(3):
+            conn.set_wanted(1)
+            gen.process(req(901 + i, prompt="x", gen_len=4))
+            assert conn.wait(timeout=60)
+            assert 901 + i in conn.failures
+        assert calls, "on_fatal never invoked after 3 failures"
+    finally:
+        gen.on_fatal = None
+        gen.shutdown()
