@@ -292,6 +292,17 @@ class LLMEngine:
 
         fn = jax.jit(runner, donate_argnums=(1, 2, 3))
         if getattr(self, "_aot_dir", None):
+            # QUIESCE the device before compiling: two round-5 canonical
+            # runs crashed the TPU worker ("TPU worker process crashed")
+            # exactly when a first-visit program compiled through the
+            # remote helper WHILE earlier dispatches were still
+            # executing. Compiles are rare (validation + AOT cover the
+            # steady grid); waiting out in-flight work first is cheap
+            # insurance against losing the whole running batch.
+            try:
+                jax.block_until_ready((self.kv_cache, self.kv_scale))
+            except Exception:
+                pass
             # compile NOW against engine-state avals and persist the
             # executable: the jit wrapper would re-trace + re-lower the
             # whole unrolled block on every later process start (~60 s

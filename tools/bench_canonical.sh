@@ -95,47 +95,65 @@ python tools/gen_samples.py --output "$SAMPLES" --count "$NREQ" \
 # prewarm keys that can never compile (and they'd accumulate forever).
 CFG_HASH=$(printf '%s|%s|%s' "$KV_TOKENS" "$BUCKETS" "$EXTRA" | cksum | cut -d' ' -f1)
 MANIFEST=${MANIFEST:-/tmp/canonical_manifest_${MODEL}_${CFG_HASH}.json}
-python tools/llm_server.py \
-  --model-format random --model-param-path "$PARAMS" \
-  --tokenizer-type dummy --quant-method online_i8i8 \
-  --kv-cache-max-tokens "$KV_TOKENS" --multi-step 16 \
-  --speculative-blocks 1 --max-tokens-per-step 8192 \
-  --attention-seq-block 8 $BUCKETS $EXTRA \
-  --warmup-manifest "$MANIFEST" \
-  --enable-profiling --profile-step-interval "${PROFILE_EVERY:-100}" \
-  --disable-log-req \
-  --port "$PORT" > "$SERVER_LOG" 2>&1 &
-SERVER_PID=$!
-trap 'kill $SERVER_PID 2>/dev/null' EXIT
-
-echo "waiting for server (pid $SERVER_PID, log $SERVER_LOG)..."
-# cold grid validation compiles through the tunnel run ~20 min; allow 60
-for i in $(seq 1 1800); do
-  grep -q "listening" "$SERVER_LOG" && break
-  kill -0 $SERVER_PID 2>/dev/null || { tail -5 "$SERVER_LOG"; exit 1; }
-  sleep 2
-done
-grep -q "listening" "$SERVER_LOG" || { echo "server never came up"; exit 1; }
-echo "server listening after $((i * 2))s"
-
-# warm the compiled-shape grid before measuring. The pass must reach the
-# same running-batch / page-bucket shapes as the measured run, or fresh
-# tunnel compiles (minutes each) land INSIDE the measurement — the first
-# round-3 attempt warmed with 16 requests and measured 171 tok/s instead
-# of the real number. Warm with the full request count.
 ES_FLAG=""
 [ "$EARLY" = "1" ] && ES_FLAG="--early-stopping"
 WARMREQ=${WARMREQ:-$NREQ}
 WARM_LOG=/tmp/canonical_warm_${TAG}.log
-python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
-  --dataset "$SAMPLES" --num-requests "$WARMREQ" --request-rate inf \
-  --token-in-out $ES_FLAG > "$WARM_LOG" 2>&1
-grep -E "finished|tokens out" "$WARM_LOG"
+
+# launch + warm, with ONE retry: the axon TPU worker can crash on a
+# first-visit mid-serving compile (remote-helper fragility). Every
+# program the dead server compiled is already AOT-persisted, so a
+# restart comes up in minutes and the retry warm pass has nothing
+# left to compile.
+warm_ok=0
+for attempt in 1 2; do
+  python tools/llm_server.py \
+    --model-format random --model-param-path "$PARAMS" \
+    --tokenizer-type dummy --quant-method online_i8i8 \
+    --kv-cache-max-tokens "$KV_TOKENS" --multi-step 16 \
+    --speculative-blocks 1 --max-tokens-per-step 8192 \
+    --attention-seq-block 8 $BUCKETS $EXTRA \
+    --warmup-manifest "$MANIFEST" \
+    --enable-profiling --profile-step-interval "${PROFILE_EVERY:-100}" \
+    --disable-log-req \
+    --port "$PORT" > "$SERVER_LOG" 2>&1 &
+  SERVER_PID=$!
+  trap 'kill $SERVER_PID 2>/dev/null' EXIT
+
+  echo "attempt $attempt: waiting for server (pid $SERVER_PID, log $SERVER_LOG)..."
+  # cold grid validation compiles through the tunnel run ~20 min; allow 60
+  for i in $(seq 1 1800); do
+    grep -q "listening" "$SERVER_LOG" && break
+    kill -0 $SERVER_PID 2>/dev/null || break
+    sleep 2
+  done
+  if ! grep -q "listening" "$SERVER_LOG"; then
+    echo "server never came up (attempt $attempt)"; tail -5 "$SERVER_LOG"
+    kill $SERVER_PID 2>/dev/null; wait $SERVER_PID 2>/dev/null
+    continue
+  fi
+  echo "server listening after $((i * 2))s"
+
+  # warm the compiled-shape grid before measuring. The pass must reach
+  # the same running-batch / page-bucket shapes as the measured run, or
+  # fresh tunnel compiles (minutes each) land INSIDE the measurement —
+  # the first round-3 attempt warmed with 16 requests and measured 171
+  # tok/s instead of the real number. Warm with the full request count.
+  python tools/client_qps_measure.py --target "127.0.0.1:$PORT" \
+    --dataset "$SAMPLES" --num-requests "$WARMREQ" --request-rate inf \
+    --token-in-out $ES_FLAG > "$WARM_LOG" 2>&1
+  grep -E "finished|tokens out" "$WARM_LOG"
+  if grep -qE "\(failed 0\)" "$WARM_LOG"; then
+    warm_ok=1
+    break
+  fi
+  echo "warm pass had failures (attempt $attempt; see $WARM_LOG, $SERVER_LOG)"
+  kill $SERVER_PID 2>/dev/null; wait $SERVER_PID 2>/dev/null; trap - EXIT
+done
 # a warm pass with failures means the grid/backend is broken — the
 # measured pass would only produce another diagnostic number
-if ! grep -qE "\(failed 0\)" "$WARM_LOG"; then
-  echo "ABORT: warm pass had failures (see $WARM_LOG, $SERVER_LOG)"
-  kill $SERVER_PID 2>/dev/null; wait $SERVER_PID 2>/dev/null; trap - EXIT
+if [ "$warm_ok" != "1" ]; then
+  echo "ABORT: warm pass had failures twice"
   exit 1
 fi
 
