@@ -116,7 +116,8 @@ for attempt in 1 2; do
     --warmup-manifest "$MANIFEST" \
     --enable-profiling --profile-step-interval "${PROFILE_EVERY:-100}" \
     --disable-log-req \
-    --port "$PORT" > "$SERVER_LOG" 2>&1 &
+    --port "$PORT" > "${SERVER_LOG}.$attempt" 2>&1 &
+  ln -sf "${SERVER_LOG}.$attempt" "$SERVER_LOG"
   SERVER_PID=$!
   trap 'kill $SERVER_PID 2>/dev/null' EXIT
 
