@@ -555,20 +555,31 @@ class LLMGenerator:
         blk = self.engine.multi_step_block
         base_prefill = bool(handle["prefill_idx"])
         # Pending requests normally veto speculation (they would wait
-        # depth x blk steps for the pipeline to drain) — but while the
-        # admission cadence is holding prefills for a decode block
-        # ANYWAY, speculating that block is pure win: the per-block
-        # host turnaround (fetch + bookkeeping, ~97 ms/block through
-        # the tunnel at b64 — [PERF] round 4) overlaps device compute
-        # instead of serializing with it. Correctness is unchanged:
-        # admission stays gated while the spec queue is non-empty, so
-        # no page can be reallocated under an in-flight block. The
-        # override applies only while the gate is ACTUALLY engaged
-        # (_admission_gated: consume-side blocks-since-prefill counter
-        # below the cadence) — a standing override would let
-        # speculation refill the queue every round and defer pending
-        # prefills unboundedly, breaking the cadence's TTFT bound.
-        cadence_pipeline = self._admission_gated()
+        # depth x blk steps for the pipeline to drain) — but the veto
+        # only buys anything when admission could actually CHANGE the
+        # membership. Two cases where it cannot, and speculation is
+        # pure win (the per-block host turnaround — fetch+bookkeeping,
+        # ~97 ms/block through the tunnel at b64 — overlaps device
+        # compute instead of serializing with it):
+        #  1. the admission cadence is holding prefills for this block
+        #     anyway (_admission_gated);
+        #  2. the running batch is FULL — no slot for a prefill until
+        #     something finishes, and a finish breaks speculation via
+        #     the _finished check below, draining the queue so the
+        #     freed slot admits next round. Round-5 A/B: without this
+        #     case the canonical rate=inf run sat at full batch with
+        #     pending traffic, speculation vetoed, every block's host
+        #     turnaround serialized — 955 tok/s vs 3390.
+        # Correctness is unchanged: admission stays gated while the
+        # spec queue is non-empty, so no page can be reallocated under
+        # an in-flight block; the consume-side cadence counter still
+        # bounds deferral whenever free capacity DOES exist.
+        cadence_pipeline = (
+            self._admission_gated()
+            or (bool(self.gen_cfg.prefill_admission_cadence)
+                and blk > 1
+                and len(self._tid_list)
+                >= self.gen_cfg.max_running_batch))
         if ((self.sched.get_pending_size() > 0 and not cadence_pipeline)
                 or any(t.pending_prefill for t in tasks)
                 or not self._finished.empty()
