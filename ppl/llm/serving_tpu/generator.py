@@ -597,10 +597,28 @@ class LLMGenerator:
             # finishes inside a block), and its KV writes land in pages
             # it still owns — which cannot be reallocated while the spec
             # queue is non-empty because admission is gated on an empty
-            # queue. Only the LENGTH horizon must cover the lookahead:
-            # past total_len the row would write outside its page_list.
-            if not all(t.rest_iters > ahead for t in tasks):
-                return
+            # queue. LENGTH finishes are equally safe with the prefix
+            # cache OFF: writes past total_len land within the row's
+            # own allocated pages or on the dedicated trash page (the
+            # page-table row pads with it), and the freed pages can't
+            # be republished/reallocated while admission is gated — so
+            # the binding horizon is the PAGE-TABLE width, not
+            # rest_iters. The old per-task rest_iters > ahead veto
+            # disengaged the whole pipeline whenever ANY of 64 rows was
+            # within a block of finishing — on ShareGPT lengths that is
+            # nearly always (P ~ 1 at b64), which serialized every
+            # block's ~100 ms host turnaround at full batch. With the
+            # prefix cache ON, freed pages are published at finish, so
+            # the conservative rest_iters horizon stands.
+            if self.gen_cfg.enable_prefix_cache:
+                if not all(t.rest_iters > ahead for t in tasks):
+                    return
+            else:
+                cap = (self.engine.max_kv_pages
+                       * self.engine.spec.page_size)
+                if not all(t.start_pos + len(t.next_tokens) + ahead
+                           + blk <= cap for t in tasks):
+                    return
             base = (self._spec_queue[-1][0]
                     if self._spec_queue else handle)
             if self.engine.continuation_fits(base, tasks):
