@@ -1097,6 +1097,12 @@ class LLMEngine:
             self.count_map = self._clear_slots(
                 self.count_map, jnp.asarray(list(slots), jnp.int32))
 
+    def heartbeat(self) -> None:
+        """Trivial device round trip (idle keepalive: the tunneled axon
+        worker died across idle->burst boundaries; the generator calls
+        this every few seconds while no traffic is queued)."""
+        jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+
     # -- tracing -------------------------------------------------------------
 
     def start_trace(self, log_dir: str) -> None:

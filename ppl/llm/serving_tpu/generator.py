@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 
@@ -192,13 +193,27 @@ class LLMGenerator:
     # -- generate thread -----------------------------------------------------
 
     def _thread_func(self) -> None:
+        keepalive = float(os.environ.get("PPL_IDLE_KEEPALIVE_S", "5"))
         while True:
             with self._wake:
-                self._wake.wait_for(
+                ready = self._wake.wait_for(
                     lambda: not self._active
-                    or self.sched.get_pending_size() > 0)
-                if not self._active:
+                    or self.sched.get_pending_size() > 0,
+                    timeout=keepalive if keepalive > 0 else None)
+                if ready and not self._active:
                     return
+            if not ready:
+                # idle keepalive: touch the device with a trivial op
+                # while no traffic is queued. The tunneled axon TPU
+                # worker repeatedly died across idle->burst boundaries
+                # (three round-5 canonical runs lost BETWEEN the warm
+                # and measured legs); a periodic heartbeat keeps the
+                # worker session active. No-op on healthy runtimes.
+                try:
+                    self.engine.heartbeat()
+                except Exception as e:     # crash surfaces at next req
+                    logger.warning("idle heartbeat failed: %s", e)
+                continue
             try:
                 self._generate()
             except Exception:  # pragma: no cover - last-resort guard
