@@ -251,59 +251,46 @@ def quantize_model_params(params: Dict[str, Any],
     and the int8 copy coexist in HBM (13.5 GB + 7 GB for LLaMA-2-7B on a
     16 GB v5e: RESOURCE_EXHAUSTED). Only safe when the caller owns the
     input pytree and discards it (create_engine does)."""
-    from jax.experimental.layout import Layout, with_layout_constraint
-
     from ..ops import quant as quant_ops
 
-    def _pin(x):
-        # pin the DEFAULT (row-major) device layout ON DEVICE: the
-        # quantize computation may hand back a transposed layout
-        # (traced: s8 w_gate_up stored {0,1}), and the Pallas matmul's
-        # operand layout constraint then forces a full relayout copy of
-        # the weight EVERY step (~0.5 ms per 22 MB on v5e). The old
-        # np.asarray host round-trip pinned the same layout but pulled
-        # every weight through the tunnel twice (minutes of 7B startup).
-        return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+    import numpy as np
 
-    def _quant_one(wt):
-        if method == "online_w4a8":
-            q, s = quant_ops.quantize_weight_int4(wt)
-            if q.ndim == 3:
-                # fused gate|up packed [D/2, 2, I] + scales [G, 2, I]
-                # go C-LEADING for the same Mosaic block-rule reason as
-                # the int8 path below
-                q = q.transpose(1, 0, 2)
-                s = s.transpose(1, 0, 2)
-            return _pin(q), _pin(s)
-        q, s = quant_ops.quantize_weight(wt, contract_axis=0)
-        if q.ndim == 3:
-            # fused gate|up [D, 2, I] is stored C-LEADING [2, D, I]:
-            # the Pallas matmul blocks it as [1, D, bn] slabs (Mosaic
-            # constrains only the last two block dims) and no operand
-            # reshape is needed, so XLA keeps the default layout
-            q = q.transpose(1, 0, 2)
-        return _pin(q), _pin(s)
+    def _free(x):
+        if free_originals and hasattr(x, "delete"):
+            x.delete()
 
-    def _quant_weights(wts):
-        out = {}
-        for name, wt in wts.items():
-            out[name + "_q"], out[name + "_s"] = _quant_one(wt)
-        return out
-
-    # per-LAYER jitted conversion (one compile, L dispatches): donation
-    # lets XLA reuse each float layer's buffers for its int8 copy, so
-    # peak HBM is the float model + ONE quantized layer — the same
-    # bound the old per-weight delete loop achieved, minus ~90 tunnel
-    # round-trips. Only the big matmul weights enter the program (norms
-    # and biases pass through untouched — donating them would just warn
-    # about unusable donations).
-    qfn = (jax.jit(_quant_weights, donate_argnums=0) if free_originals
-           else jax.jit(_quant_weights))
-    wnames = ("wqkv", "wo", "w_gate_up", "w_down")
     new_layers = []
     for lp in params["layers"]:
-        nl = {k: v for k, v in lp.items() if k not in wnames}
-        nl.update(qfn({n: lp[n] for n in wnames}))
+        nl = {k: v for k, v in lp.items()
+              if k not in ("wqkv", "wo", "w_gate_up", "w_down")}
+        for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+            if method == "online_w4a8":
+                q, s = quant_ops.quantize_weight_int4(lp[name])
+                if q.ndim == 3:
+                    # fused gate|up packed [D/2, 2, I] + scales [G, 2, I]
+                    # go C-LEADING for the same Mosaic block-rule reason
+                    # as the int8 path below
+                    q = q.transpose(1, 0, 2)
+                    s = s.transpose(1, 0, 2)
+                nl[name + "_q"] = jnp.asarray(np.asarray(q))
+                nl[name + "_s"] = jnp.asarray(np.asarray(s))
+                _free(lp[name])
+                continue
+            q, s = quant_ops.quantize_weight(lp[name], contract_axis=0)
+            if q.ndim == 3:
+                # fused gate|up [D, 2, I] is stored C-LEADING [2, D, I]:
+                # the Pallas matmul blocks it as [1, D, bn] slabs (Mosaic
+                # constrains only the last two block dims) and no operand
+                # reshape is needed, so XLA keeps the default layout
+                q = q.transpose(1, 0, 2)
+            # host round-trip pins the DEFAULT (row-major) device layout:
+            # the quantize computation may hand back a transposed layout
+            # (traced: s8 w_gate_up stored {0,1}), and the Pallas matmul's
+            # operand layout constraint then forces a full relayout copy
+            # of the weight EVERY step (~0.5 ms per 22 MB on v5e)
+            nl[name + "_q"] = jnp.asarray(np.asarray(q))
+            nl[name + "_s"] = jnp.asarray(np.asarray(s))
+            _free(lp[name])
         new_layers.append(nl)
     out = dict(params)
     out["layers"] = new_layers
@@ -311,9 +298,14 @@ def quantize_model_params(params: Dict[str, Any],
         # optional beyond-reference extension: at b64 decode the bf16
         # lm_head streams 131 MB/step (24% of all weight bytes in the
         # w4 config); the step fn dispatches on the _q key's presence
-        hfn = (jax.jit(_quant_one, donate_argnums=0) if free_originals
-               else jax.jit(_quant_one))
-        out["lm_head_q"], out["lm_head_s"] = hfn(params["lm_head"])
+        if method == "online_w4a8":
+            q, s = quant_ops.quantize_weight_int4(params["lm_head"])
+        else:
+            q, s = quant_ops.quantize_weight(params["lm_head"],
+                                             contract_axis=0)
+        out["lm_head_q"] = jnp.asarray(np.asarray(q))
+        out["lm_head_s"] = jnp.asarray(np.asarray(s))
+        _free(params["lm_head"])
         del out["lm_head"]
     return out
 
